@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Entry helpers shared by the engine: session construction tuned for the
+  * harness (local[32], 32 shuffle partitions, AQE on) and table access.
+  *
+  * Scale notes (100 TB target): every knob here is also correct on a real
+  * cluster — AQE handles skew/coalescing at runtime, shuffle partitions are
+  * overridden by AQE's coalescing, and broadcast threshold stays default so
+  * dimension tables (region/nation/supplier/part at TPC-H ratios) broadcast.
+  */
+object Graft {
+
+  /** Build a session with graft extensions (SQL function registration). */
+  def session(master: String = "local[32]", shufflePartitions: Int = 32): SparkSession = {
+    val spark = SparkSession
+      .builder()
+      .master(master)
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    registerFunctions(spark)
+    spark
+  }
+
+  /** Register graft's custom Catalyst expressions as SQL functions on an
+    * existing session (idempotent). Call on any externally-built session
+    * (e.g. the driver's Verify/Bench sessions). */
+  def registerFunctions(spark: SparkSession): Unit =
+    graft.expr.GraftFunctions.registerAll(spark)
+
+  /** Read one harness table (TESTDATA.md layout: `<dir>/<name>.parquet`).
+    * `events.ts` is TIMESTAMP(NANOS) parquet, which Spark 4 rejects by
+    * default — read it as long nanos and floor-convert to microseconds
+    * (identical to DuckDB's ns->us handling for positive epochs). */
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    df.schema.fields.foldLeft(df) { (d, f) =>
+      if (f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType)
+        d.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.floor(org.apache.spark.sql.functions.col("ts") / 1000L).cast("long")))
+      else d
+    }
+  }
+}

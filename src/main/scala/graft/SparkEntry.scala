@@ -1,13 +1,28 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` is the engine's public inventory: one entry per implemented
+  * operator family (SURVEY §2 + the 100-TB scale ops). Each has a DuckDB
+  * oracle in `oracleSql` when SQL-expressible; ML/iterative ops get
+  * rows-only checks.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def entry(spark: SparkSession): DataFrame = {
+    Graft.registerFunctions(spark)
+    queries("q03_star_join_revenue")(spark, "/root/testdata/sf0.001")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    (graft.queries.RelationalQueries.queries)
+      .map { case (k, fn) =>
+        k -> ((s: SparkSession, dir: String) => { Graft.registerFunctions(s); fn(s, dir) })
+      }
+
+  def oracleSql: Map[String, String] =
+    graft.queries.RelationalQueries.oracleSql
 }

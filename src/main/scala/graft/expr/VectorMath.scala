@@ -1,0 +1,77 @@
+package graft.expr
+
+import org.apache.spark.sql.catalyst.util.ArrayData
+
+/** Dense-vector kernels over Catalyst ArrayData, called from codegen.
+  * Accumulation is sequential in index order, in double precision — this is
+  * deterministic (no parallel reduction inside a row) so results are stable
+  * across partitionings and match a straightforward oracle computation. */
+object VectorMath {
+
+  /** Cosine similarity between two float arrays; 0.0 if either has zero norm
+    * or lengths differ (defensive — engine guarantees equal dims). */
+  def cosineFloat(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    if (n != b.numElements() || n == 0) return 0.0
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  def cosineDouble(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    if (n != b.numElements() || n == 0) return 0.0
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getDouble(i)
+      val y = b.getDouble(i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  def dotFloat(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var i = 0
+    while (i < n) { dot += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
+    dot
+  }
+
+  def dotDouble(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var i = 0
+    while (i < n) { dot += a.getDouble(i) * b.getDouble(i); i += 1 }
+    dot
+  }
+
+  /** Row-wise modal vote over an int array (SURVEY §2 F6/G2): value with the
+    * strictly-highest occurrence count; ties and empty input -> -1. Null
+    * elements are ignored (reference columns are never null there). */
+  def modalLabel(arr: ArrayData): Int = {
+    val n = arr.numElements()
+    if (n == 0) return -1
+    val counts = new java.util.HashMap[Int, Int]()
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) counts.merge(arr.getInt(i), 1, (x, y) => x + y)
+      i += 1
+    }
+    if (counts.isEmpty) return -1
+    var bestVal = -1; var bestCount = 0; var tied = false
+    val it = counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getValue > bestCount) { bestCount = e.getValue; bestVal = e.getKey; tied = false }
+      else if (e.getValue == bestCount) tied = true
+    }
+    if (tied) -1 else bestVal
+  }
+}
