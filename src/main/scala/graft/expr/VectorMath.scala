@@ -8,11 +8,12 @@ import org.apache.spark.sql.catalyst.util.ArrayData
   * across partitionings and match a straightforward oracle computation. */
 object VectorMath {
 
-  /** Cosine similarity between two float arrays; 0.0 if either has zero norm
-    * or lengths differ (defensive — engine guarantees equal dims). */
+  /** Cosine similarity between two float arrays; 0.0 if either has zero
+    * norm. Callers (CosineSimilarity) must pre-check equal dims — a mismatch
+    * is surfaced as SQL NULL at the expression layer, never silently scored. */
   def cosineFloat(a: ArrayData, b: ArrayData): Double = {
     val n = a.numElements()
-    if (n != b.numElements() || n == 0) return 0.0
+    if (n == 0) return 0.0
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
@@ -26,7 +27,7 @@ object VectorMath {
 
   def cosineDouble(a: ArrayData, b: ArrayData): Double = {
     val n = a.numElements()
-    if (n != b.numElements() || n == 0) return 0.0
+    if (n == 0) return 0.0
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
@@ -38,15 +39,17 @@ object VectorMath {
     if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  /** Dot products assume equal dims (expression layer yields NULL on
+    * mismatch rather than truncating to the shorter vector). */
   def dotFloat(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
     var dot = 0.0; var i = 0
     while (i < n) { dot += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
     dot
   }
 
   def dotDouble(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
     var dot = 0.0; var i = 0
     while (i < n) { dot += a.getDouble(i) * b.getDouble(i); i += 1 }
     dot

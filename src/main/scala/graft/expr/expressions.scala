@@ -76,6 +76,9 @@ case class CosineSimilarity(left: Expression, right: Expression)
     Bridge.typeCollection(ArrayType(FloatType), ArrayType(DoubleType)))
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
+  // Null on dimension mismatch (never a silent truncated/zero score): a
+  // dim bug upstream must surface as NULL, not a plausible number.
+  override def nullable: Boolean = true
   override def prettyName: String = "cosine_sim"
   private def isFloat: Boolean = left.dataType match {
     case ArrayType(FloatType, _) => true
@@ -93,11 +96,19 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val aa = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
     val bb = b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-    if (isFloat) VectorMath.cosineFloat(aa, bb) else VectorMath.cosineDouble(aa, bb)
+    if (aa.numElements() != bb.numElements()) null
+    else if (isFloat) VectorMath.cosineFloat(aa, bb) else VectorMath.cosineDouble(aa, bb)
   }
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val fn = if (isFloat) "cosineFloat" else "cosineDouble"
-    defineCodeGen(ctx, ev, (a, b) => s"graft.expr.VectorMath.$fn($a, $b)")
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = graft.expr.VectorMath.$fn($a, $b);
+         |}
+       """.stripMargin)
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
@@ -111,6 +122,8 @@ case class DotProduct(left: Expression, right: Expression)
     Bridge.typeCollection(ArrayType(FloatType), ArrayType(DoubleType)))
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
+  // Null on dimension mismatch — see CosineSimilarity.
+  override def nullable: Boolean = true
   override def prettyName: String = "dot_product"
   private def isFloat: Boolean = left.dataType match {
     case ArrayType(FloatType, _) => true
@@ -119,11 +132,19 @@ case class DotProduct(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val aa = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
     val bb = b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-    if (isFloat) VectorMath.dotFloat(aa, bb) else VectorMath.dotDouble(aa, bb)
+    if (aa.numElements() != bb.numElements()) null
+    else if (isFloat) VectorMath.dotFloat(aa, bb) else VectorMath.dotDouble(aa, bb)
   }
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val fn = if (isFloat) "dotFloat" else "dotDouble"
-    defineCodeGen(ctx, ev, (a, b) => s"graft.expr.VectorMath.$fn($a, $b)")
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = graft.expr.VectorMath.$fn($a, $b);
+         |}
+       """.stripMargin)
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)

@@ -179,8 +179,10 @@ object RelationalQueries {
          GROUP BY event_type""",
     "q08_semi_anti" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer
-         WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 100000)
-           AND c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW')""",
+         WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                         AND o_totalprice > 100000)
+           AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                             AND o_orderpriority = '5-LOW')""",
     "q09_rollup" ->
       """SELECT o_orderstatus, o_orderpriority,
          count(*) AS n, round(sum(o_totalprice), 2) AS sum_price
