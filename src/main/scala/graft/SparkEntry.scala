@@ -18,11 +18,13 @@ object SparkEntry {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    (graft.queries.RelationalQueries.queries)
+    (graft.queries.RelationalQueries.queries ++
+      graft.queries.SimilarityQueries.queries)
       .map { case (k, fn) =>
         k -> ((s: SparkSession, dir: String) => { Graft.registerFunctions(s); fn(s, dir) })
       }
 
   def oracleSql: Map[String, String] =
-    graft.queries.RelationalQueries.oracleSql
+    graft.queries.RelationalQueries.oracleSql ++
+      graft.queries.SimilarityQueries.oracleSql
 }
