@@ -8,10 +8,20 @@ import org.apache.spark.sql.catalyst.util.ArrayData
   * across partitionings and match a straightforward oracle computation. */
 object VectorMath {
 
+  /** Dim guard shared by the public kernels: the expression layer surfaces
+    * mismatches as SQL NULL before calling in, but these are public
+    * (advertised as ANN/IVF building blocks) — a direct caller passing a
+    * longer `a` would otherwise read past `b`'s end on UnsafeArrayData. */
+  @inline private def requireSameDim(a: ArrayData, b: ArrayData): Unit =
+    if (a.numElements() != b.numElements())
+      throw new IllegalArgumentException(
+        s"vector dim mismatch: ${a.numElements()} vs ${b.numElements()}")
+
   /** Cosine similarity between two float arrays; 0.0 if either has zero
-    * norm. Callers (CosineSimilarity) must pre-check equal dims — a mismatch
-    * is surfaced as SQL NULL at the expression layer, never silently scored. */
+    * norm. Dim mismatch throws here; CosineSimilarity pre-checks and yields
+    * SQL NULL instead, so the throw only guards direct kernel callers. */
   def cosineFloat(a: ArrayData, b: ArrayData): Double = {
+    requireSameDim(a, b)
     val n = a.numElements()
     if (n == 0) return 0.0
     var dot = 0.0; var na = 0.0; var nb = 0.0
@@ -26,6 +36,7 @@ object VectorMath {
   }
 
   def cosineDouble(a: ArrayData, b: ArrayData): Double = {
+    requireSameDim(a, b)
     val n = a.numElements()
     if (n == 0) return 0.0
     var dot = 0.0; var na = 0.0; var nb = 0.0
@@ -39,9 +50,11 @@ object VectorMath {
     if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
-  /** Dot products assume equal dims (expression layer yields NULL on
-    * mismatch rather than truncating to the shorter vector). */
+  /** Dot products: equal dims enforced (expression layer yields NULL on
+    * mismatch before calling in; direct callers get a thrown error, never a
+    * truncated/overread score). */
   def dotFloat(a: ArrayData, b: ArrayData): Double = {
+    requireSameDim(a, b)
     val n = a.numElements()
     var dot = 0.0; var i = 0
     while (i < n) { dot += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
@@ -49,6 +62,7 @@ object VectorMath {
   }
 
   def dotDouble(a: ArrayData, b: ArrayData): Double = {
+    requireSameDim(a, b)
     val n = a.numElements()
     var dot = 0.0; var i = 0
     while (i < n) { dot += a.getDouble(i) * b.getDouble(i); i += 1 }

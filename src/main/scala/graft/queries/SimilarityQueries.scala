@@ -82,9 +82,13 @@ object SimilarityQueries {
     }),
 
     // Brute-force cosine top-k (the correctness oracle for the ANN path):
-    // 5 query vectors against the full embedding table, partition-local
-    // top-k then global rank. Ranking uses the ROUNDED similarity with a
-    // vec_id tie-break so both engines rank identically.
+    // 5 query vectors against the full embedding table. Ranking uses the
+    // ROUNDED similarity with a vec_id tie-break so both engines rank
+    // identically. The low-cardinality window key (query_id) does NOT
+    // hot-spot at scale: Spark's InferWindowGroupLimit rewrites
+    // `row_number() ... filter rnk <= k` into a partial WindowGroupLimit
+    // before the shuffle, so each input partition ships only its local
+    // top-k per query (verified on the physical plan).
     "q11_cosine_topk" -> ((s, dir) => {
       val e = table(s, dir, "embeddings")
       val q = e.filter(col("vec_id") < 5)
@@ -94,24 +98,24 @@ object SimilarityQueries {
         .select(col("query_id"), col("vec_id"),
           round(cosine_sim(col("embedding"), col("query_vec")), 6).as("sim"),
           round(dot_product(col("embedding"), col("query_vec")), 6).as("dot"))
-      // partition-local pre-top-k: bounds the final shuffle per query
-      val localW = Window.partitionBy(col("query_id"), col("pid"))
+      val w = Window.partitionBy(col("query_id"))
         .orderBy(desc("sim"), asc("vec_id"))
-      val pruned = scored.withColumn("pid", spark_partition_id())
-        .withColumn("lrnk", row_number().over(localW))
-        .filter(col("lrnk") <= 10)
-      val globalW = Window.partitionBy(col("query_id"))
-        .orderBy(desc("sim"), asc("vec_id"))
-      pruned.withColumn("rnk", row_number().over(globalW))
+      scored.withColumn("rnk", row_number().over(w))
         .filter(col("rnk") <= 10)
         .select(col("query_id"), col("vec_id"), col("sim"), col("dot"), col("rnk"))
     })
   )
 
   private def seedValues: String =
-    seeds.map(x => s"('$x')").mkString("(VALUES ", ", ", ") s(seed)")
+    seeds.map(x => s"('${x.replace("'", "''")}')")
+      .mkString("(VALUES ", ", ", ") s(seed)")
 
   val oracleSql: Map[String, String] = Map(
+    // Parity note: graft's jaccard_char_distance sets are UTF-16 chars while
+    // DuckDB's jaccard() operates on bytes — identical on the ASCII synthetic
+    // corpus (and the reference's Latin-1 retail names), divergent on
+    // multi-byte text. Documented assumption, revisit if non-ASCII fixtures
+    // are introduced.
     "q10_seed_label_fuzzy" ->
       s"""WITH scored AS (
            SELECT doc_id,
