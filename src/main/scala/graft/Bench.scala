@@ -1,9 +1,14 @@
 package graft
 import org.apache.spark.sql.SparkSession
 
-/** Benchmark main: one warm-up pass then median of 3 timed runs per query
-  * (round-2 showed 2x run-to-run noise at n=1, which would swamp any real
-  * regression signal). A failed query is reported with time = -1.0 so a
+/** Benchmark main: a FULL-SUITE warm-up pass (fixed alphabetical order)
+  * before any timing, then median of 3 timed runs per query in the same
+  * fixed order. Round-4 verdict: per-query warm-up still let the first
+  * timed query absorb one-time costs (JIT of shared codegen paths, parquet
+  * footer/file-listing caches shared across queries) and HashMap iteration
+  * order shuffled which query paid them — q01 swung 2.3 s vs 0.63 s on an
+  * identical binary. Warming the whole suite first pays those costs outside
+  * every timing window. A failed query is reported with time = -1.0 so a
   * crash can never masquerade as a fast run; the exception goes to stderr.
   */
 object Bench {
@@ -25,10 +30,15 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    // full-suite warm-up: JIT + codegen + file-listing caches for EVERY
+    // query before ANY timing starts
+    ordered.foreach { case (_, fn) =>
+      try runOnce(fn) catch { case _: Throwable => () }
+    }
+    val results = ordered.map { case (name, fn) =>
       val t =
         try {
-          runOnce(fn) // warm-up: JIT + codegen + file-listing caches
           val times = Seq.fill(3)(runOnce(fn)).sorted
           times(1) // median
         } catch {
@@ -40,7 +50,7 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.values.filter(_ >= 0).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
     val failed = results.count(_._2 < 0)
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
