@@ -19,12 +19,14 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     (graft.queries.RelationalQueries.queries ++
-      graft.queries.SimilarityQueries.queries)
+      graft.queries.SimilarityQueries.queries ++
+      graft.queries.GraphQueries.queries)
       .map { case (k, fn) =>
         k -> ((s: SparkSession, dir: String) => { Graft.registerFunctions(s); fn(s, dir) })
       }
 
   def oracleSql: Map[String, String] =
     graft.queries.RelationalQueries.oracleSql ++
-      graft.queries.SimilarityQueries.oracleSql
+      graft.queries.SimilarityQueries.oracleSql ++
+      graft.queries.GraphQueries.oracleSql
 }

@@ -1,0 +1,70 @@
+package graft.graph
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+
+/** LabelSpreading on a hand-built three-cluster graph: two seeded clusters
+  * must adopt their seed's label, an unseeded cluster must stay -1.
+  * Reference semantics: labelling_pipeline.py:432-475 (knn LabelSpreading,
+  * posterior threshold). */
+class LabelSpreadingSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  // Three orthogonal clusters of 4, perturbed so every pairwise cosine is
+  // distinct (no tie-break dependence in the expected neighbor sets).
+  private def vectors = {
+    def v(base: Int, i: Int): Array[Float] = {
+      val a = Array.fill(3)(0.001f * (i + 1))
+      a(base) = 1f + 0.01f * i
+      a
+    }
+    val rows = (0 until 12).map { id =>
+      Row(id.toLong, v(id / 4, id % 4).toSeq)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows),
+      StructType(Seq(
+        StructField("vec_id", LongType, nullable = false),
+        StructField("embedding", ArrayType(FloatType, containsNull = false)))))
+  }
+
+  test("knnEdges picks within-cluster neighbors") {
+    val edges = LabelSpreading.knnEdges(vectors, "vec_id", "embedding", 3)
+    val got = edges.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // with k=3 each node's neighbors are exactly its 3 cluster-mates
+    for (id <- 0 until 12) {
+      val cluster = (id / 4) * 4
+      val expected = (cluster until cluster + 4).filter(_ != id).map(d => (id.toLong, d.toLong))
+      assert(expected.forall(got.contains), s"node $id missing cluster edges")
+    }
+    assert(got.size == 36)
+  }
+
+  test("spread labels seeded clusters, leaves unseeded cluster at -1") {
+    val e = vectors
+    val edges = LabelSpreading.normalizedEdges(
+      LabelSpreading.knnEdges(e, "vec_id", "embedding", 3))
+    // seeds: node 0 positive, node 4 negative; cluster 3 (ids 8-11) unseeded
+    val y = e.select(col("vec_id"),
+      when(col("vec_id") === 0, 1.0).otherwise(0.0).as("y1"),
+      when(col("vec_id") === 4, 1.0).otherwise(0.0).as("y0"))
+    val f = LabelSpreading.spread(edges, y, "vec_id", alpha = 0.01, iters = 10)
+    val out = LabelSpreading.thresholdLabels(f, "vec_id", 0.7)
+      .collect().map(r => r.getLong(0) -> r.getInt(3)).toMap
+    for (id <- 0L to 3L) assert(out(id) == 1, s"node $id should be positive")
+    for (id <- 4L to 7L) assert(out(id) == 0, s"node $id should be negative")
+    for (id <- 8L to 11L) assert(out(id) == -1, s"node $id should stay unlabelled")
+  }
+
+  test("thresholdLabels demotes mixed posteriors to -1") {
+    import spark.implicits._
+    val f = Seq((1L, 0.6, 0.4), (2L, 0.4, 0.6), (3L, 0.0, 0.0), (4L, 0.71, 0.29))
+      .toDF("vec_id", "f1", "f0")
+    val out = LabelSpreading.thresholdLabels(f, "vec_id", 0.7)
+      .collect().map(r => r.getLong(0) -> r.getInt(3)).toMap
+    assert(out == Map(1L -> -1, 2L -> -1, 3L -> -1, 4L -> 1))
+  }
+}
