@@ -34,7 +34,8 @@ object Bench {
     // full-suite warm-up: JIT + codegen + file-listing caches for EVERY
     // query before ANY timing starts
     ordered.foreach { case (_, fn) =>
-      try runOnce(fn) catch { case _: Throwable => () }
+      try runOnce(fn)
+      catch { case scala.util.control.NonFatal(_) => () }
     }
     val results = ordered.map { case (name, fn) =>
       val t =

@@ -22,6 +22,16 @@ import graft.expr.GraftFunctions.cosine_sim
   * iterations, and a fixed count makes the operator deterministic and
   * oracle-checkable (the DuckDB oracle unrolls the same iterations as CTEs).
   *
+  * Deviation from sklearn's `kernel='knn'`: sklearn builds
+  * `kneighbors_graph` over the fit set itself, so each point's k neighbors
+  * INCLUDE the point (a self-loop contributing weight 1 to W and to the
+  * degrees, leaving k-1 distinct others); this implementation excludes self
+  * and takes k DISTINCT nearest others, so posteriors do not numerically
+  * match sklearn on identical data — the thresholded labels agree in
+  * practice (self-loop mass is redistributed proportionally), and both the
+  * Spark side and the DuckDB oracle implement the same (self-excluded)
+  * spec.
+  *
   * Determinism across engines: the only non-associative step is the
   * per-neighbor sum inside an iteration (<= 12 terms of O(1) doubles), whose
   * cross-engine error is ~1e-16 relative and is damped (row sums of S are
@@ -96,7 +106,15 @@ object LabelSpreading {
           (lit(alpha) * coalesce(col("m1"), lit(0.0)) + lit(1.0 - alpha) * col("y1")).as("f1"),
           (lit(alpha) * coalesce(col("m0"), lit(0.0)) + lit(1.0 - alpha) * col("y0")).as("f0"))
     }
-    f
+    // localCheckpoint (eager) materializes the 10-iteration plan NOW —
+    // computing the persisted edges exactly once — then the caches are
+    // released so a benchmark or long-lived session doesn't keep the k-NN
+    // edge blocks resident (and a later timed run can't silently reuse
+    // them). Also truncates the iterative lineage.
+    val out = f.localCheckpoint()
+    e.unpersist()
+    y0.unpersist()
+    out
   }
 
   /** Threshold the normalized posterior (labelling_pipeline.py:460-466):

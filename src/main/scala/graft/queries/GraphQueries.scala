@@ -45,8 +45,8 @@ object GraphQueries {
   private def iterCtes: String = (1 to Iters).map { i =>
     s"""it$i AS (
        SELECT y.vec_id,
-         $Alpha::DOUBLE * coalesce(m.m1, 0.0::DOUBLE) + 0.99::DOUBLE * y.y1 AS f1,
-         $Alpha::DOUBLE * coalesce(m.m0, 0.0::DOUBLE) + 0.99::DOUBLE * y.y0 AS f0
+         $Alpha::DOUBLE * coalesce(m.m1, 0.0::DOUBLE) + ${1.0 - Alpha}::DOUBLE * y.y1 AS f1,
+         $Alpha::DOUBLE * coalesce(m.m0, 0.0::DOUBLE) + ${1.0 - Alpha}::DOUBLE * y.y0 AS f0
        FROM y LEFT JOIN (
          SELECT e.src, sum(e.s * f.f1) AS m1, sum(e.s * f.f0) AS m0
          FROM sedges e JOIN it${i - 1} f ON e.dst = f.vec_id GROUP BY e.src) m
