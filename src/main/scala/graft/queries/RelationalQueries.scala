@@ -90,8 +90,7 @@ object RelationalQueries {
         .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rnk"))
     }),
 
-    // Time bucketing on the events stream table (batch view of the
-    // streaming windowed-agg semantics in graft.streaming).
+    // Time bucketing on the events stream table.
     "q06_events_hourly" -> ((s, dir) => {
       table(s, dir, "events")
         .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
