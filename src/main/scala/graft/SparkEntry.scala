@@ -20,7 +20,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     (graft.queries.RelationalQueries.queries ++
       graft.queries.SimilarityQueries.queries ++
-      graft.queries.GraphQueries.queries)
+      graft.queries.GraphQueries.queries ++
+      graft.queries.ClothingQueries.queries)
       .map { case (k, fn) =>
         k -> ((s: SparkSession, dir: String) => { Graft.registerFunctions(s); fn(s, dir) })
       }
@@ -28,5 +29,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     graft.queries.RelationalQueries.oracleSql ++
       graft.queries.SimilarityQueries.oracleSql ++
-      graft.queries.GraphQueries.oracleSql
+      graft.queries.GraphQueries.oracleSql ++
+      graft.queries.ClothingQueries.oracleSql
 }

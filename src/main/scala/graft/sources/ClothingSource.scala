@@ -1,0 +1,70 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** S1/S2 — ingestion of the reference's own dataset: the Latin-1 mock CSV
+  * and the seed-label JSON config.
+  *
+  * Reference semantics:
+  *  - CSV: `pd.read_csv(path, encoding="ISO-8859-1")` (notebook cell 5 @
+  *    line 107) — header row, 5 columns, no quoting surprises. We read with
+  *    an EXPLICIT schema (never infer — a second pass over 100 TB just to
+  *    guess types is wrong) and FAILFAST so a malformed row surfaces
+  *    immediately instead of silently nulling.
+  *  - JSON: `json.load(f)` of `data/seed_labels.json` (notebook cell 3 @
+  *    line 89) — a {label_id -> [seed phrase, ...]} dict. Re-expressed
+  *    relationally as an exploded (item_id, seed) table; as driver-side
+  *    config via [[seedMap]] (it IS configuration: ≤ a few dozen strings
+  *    that become broadcast literals in the scoring crossJoin).
+  *
+  * Scale notes: the CSV scan is a plain FileScan with the schema pushed
+  * down — splittable, parallel, no driver involvement. The JSON is a
+  * one-row multiLine read (config-sized by definition).
+  */
+object ClothingSource {
+
+  /** Root of the reference's data directory (override for tests). */
+  val defaultDir = "/root/reference/data"
+  def dataDir: String = sys.env.getOrElse("GRAFT_CLOTHING_DIR", defaultDir)
+  def csvPath(dir: String): String = s"$dir/clothing_mock_data.csv"
+  def seedPath(dir: String): String = s"$dir/seed_labels.json"
+
+  /** Fixed by the reference data's header (SURVEY §1.2). */
+  val schema: StructType = StructType(Seq(
+    StructField("category", StringType),
+    StructField("division", StringType),
+    StructField("name", StringType),
+    StructField("subcategory", StringType),
+    StructField("true_label", IntegerType)))
+
+  /** S1: the mock product table. `name` is unique in the shipped data and
+    * serves as the stable row key (the reference leans on the pandas row
+    * index; a content key is the distributed-safe equivalent). */
+  def clothing(spark: SparkSession, dir: String = dataDir): DataFrame =
+    spark.read
+      .schema(schema)
+      .option("header", "true")
+      .option("encoding", "ISO-8859-1")
+      .option("mode", "FAILFAST")
+      .csv(csvPath(dir))
+
+  /** S2 relational view: (item_id, seed), one row per seed phrase. */
+  def seedLabels(spark: SparkSession, dir: String = dataDir): DataFrame = {
+    val raw = spark.read.option("multiLine", "true").json(seedPath(dir))
+    // columns are "0".."7"; lexical sort == numeric for single digits
+    val entries = raw.columns.sorted.toIndexedSeq
+      .flatMap(c => Seq(lit(c.toInt), col(c)))
+    raw.select(explode(map(entries: _*)).as(Seq("item_id", "seeds")))
+      .select(col("item_id"), explode(col("seeds")).as("seed"))
+  }
+
+  /** S2 as config: label_id -> seed phrases, for building broadcast seed
+    * literals (reference: `seed_labels[str(i)]`, notebook cell 18). */
+  def seedMap(spark: SparkSession, dir: String = dataDir): Map[Int, Seq[String]] =
+    seedLabels(spark, dir)
+      .collect()
+      .groupBy(_.getInt(0))
+      .map { case (k, rows) => k -> rows.map(_.getString(1)).toSeq }
+}
