@@ -30,7 +30,12 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    // q12 (label propagation, ~1/3 of suite time) is timed LAST so its GC +
+    // shuffle pressure can't contaminate the sub-second queries that would
+    // otherwise follow it — r14→r15 showed 3.7-4.3x identical-binary swings.
+    val ordered = SparkEntry.queries.toSeq.sortBy { case (k, _) =>
+      (if (k == "q12_label_propagation") 1 else 0, k)
+    }
     // full-suite warm-up: JIT + codegen + file-listing caches for EVERY
     // query before ANY timing starts
     ordered.foreach { case (_, fn) =>
@@ -40,8 +45,8 @@ object Bench {
     val results = ordered.map { case (name, fn) =>
       val t =
         try {
-          val times = Seq.fill(3)(runOnce(fn)).sorted
-          times(1) // median
+          val times = Seq.fill(5)(runOnce(fn)).sorted
+          times(2) // median of 5
         } catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name failed: $e")

@@ -22,8 +22,8 @@ object ClothingQueries {
 
     // A3 prevalence over the real CSV (notebook cell 7 @ line 125). The
     // groupBy key is 9 values — one partial-agg shuffle at any scale.
-    "q13_clothing_prevalence" -> ((s, _) => {
-      ClothingSource.clothing(s)
+    "q13_clothing_prevalence" -> ((s, d) => {
+      ClothingSource.clothing(s, ClothingSource.resolveDir(d))
         .groupBy(col("true_label"))
         .agg(count(lit(1)).as("n"),
           countDistinct(col("name")).as("n_names"),
@@ -32,8 +32,8 @@ object ClothingQueries {
 
     // S2: the seed-label config as a relational (item_id, seed) table with
     // per-item seed counts attached (window over a 92-row config table).
-    "q14_seed_labels" -> ((s, _) => {
-      val seeds = ClothingSource.seedLabels(s)
+    "q14_seed_labels" -> ((s, d) => {
+      val seeds = ClothingSource.seedLabels(s, ClothingSource.resolveDir(d))
       val counts = seeds.groupBy(col("item_id")).agg(count(lit(1)).as("n_seeds"))
       seeds.join(counts, "item_id")
         .select(col("item_id"), col("seed"), col("n_seeds"))
