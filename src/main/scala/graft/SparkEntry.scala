@@ -21,7 +21,8 @@ object SparkEntry {
     (graft.queries.RelationalQueries.queries ++
       graft.queries.SimilarityQueries.queries ++
       graft.queries.GraphQueries.queries ++
-      graft.queries.ClothingQueries.queries)
+      graft.queries.ClothingQueries.queries ++
+      graft.queries.DedupQueries.queries)
       .map { case (k, fn) =>
         k -> ((s: SparkSession, dir: String) => { Graft.registerFunctions(s); fn(s, dir) })
       }
@@ -30,5 +31,6 @@ object SparkEntry {
     graft.queries.RelationalQueries.oracleSql ++
       graft.queries.SimilarityQueries.oracleSql ++
       graft.queries.GraphQueries.oracleSql ++
-      graft.queries.ClothingQueries.oracleSql
+      graft.queries.ClothingQueries.oracleSql ++
+      graft.queries.DedupQueries.oracleSql
 }

@@ -1,0 +1,146 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Graft.table
+
+/** Deduplication operators over the `documents` table — the dedup pillar of
+  * a training-data pipeline (builder brief; SURVEY §7 scale ops).
+  *
+  *  - q16 exact dedup: fingerprint = md5(text), one shuffle on the
+  *    fingerprint, keep the minimum doc_id per group. At 100 TB this is THE
+  *    way to dedup: the shuffle carries (16-byte hash, id) pairs, never the
+  *    document bodies, and the aggregation is a partial/map-side combine.
+  *  - q17 MinHash-LSH near-dup: word 3-shingles -> 60-bit hash -> K=12
+  *    minhash signature -> 4 bands x 3 rows -> band-bucket self-join ->
+  *    exact Jaccard verify on candidates only. The LSH band join replaces
+  *    the O(N^2) all-pairs comparison with a shuffle keyed on band
+  *    signatures; the expensive shingle-set Jaccard runs only on colliding
+  *    pairs. All hashing is plain integer arithmetic on md5 prefixes so the
+  *    DuckDB oracle reproduces it bit-for-bit (no engine-private hash).
+  *
+  * MinHash scheme: h_i(x) = (A_i * (x mod P) + B_i) mod P over the Mersenne
+  * prime P = 2^31 - 1, x = first 15 hex chars (60 bits) of md5(shingle).
+  * A_i * x < 2^62 so the arithmetic never overflows a signed 64-bit int in
+  * either engine.
+  */
+object DedupQueries {
+
+  private val P = 2147483647L // 2^31 - 1
+  private val A = Seq(7L, 13L, 31L, 61L, 127L, 251L, 509L, 1021L, 2039L, 4093L, 8191L, 16381L)
+  private val B = Seq(3L, 17L, 29L, 47L, 89L, 151L, 211L, 283L, 359L, 433L, 541L, 631L)
+  private val bands = 4
+  private val rowsPerBand = 3
+  private val nearDupThreshold = 0.5
+
+  /** 60-bit integer from the md5 hex prefix, reduced mod P. */
+  private def hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long") % P
+
+  /** Distinct word 3-shingles of a space-tokenized text (whole text when
+    * shorter than 3 tokens, mirroring the degenerate-input convention). */
+  private def shingles(text: Column): Column = {
+    val toks = split(text, " ")
+    array_distinct(
+      when(size(toks) >= 3,
+        transform(sequence(lit(1), size(toks) - 2), i => concat_ws(" ", slice(toks, i, lit(3)))))
+        .otherwise(array(text)))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Exact dedup: group on content hash, keep min id. One partial-agg
+    // shuffle of (hash, id); document bodies never move.
+    "q16_exact_dedup" -> ((s, dir) => {
+      table(s, dir, "documents")
+        .groupBy(md5(col("text")).as("fingerprint"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+    }),
+
+    // MinHash-LSH near-dup candidate generation + exact Jaccard verify.
+    "q17_minhash_neardup" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"), shingles(col("text")).as("sh"))
+      // hash each shingle once, then take K mins over affine transforms
+      val hashed = docs.withColumn("hs", transform(col("sh"), x => hash60(x)))
+      val sig = A.indices.foldLeft(hashed) { (df, i) =>
+        df.withColumn(s"sig_$i",
+          array_min(transform(col("hs"), h => (lit(A(i)) * h + lit(B(i))) % P)))
+      }
+      // band keys: r consecutive signature slots joined into one string key
+      val bandStructs = (0 until bands).map { j =>
+        val key = concat_ws("_",
+          (0 until rowsPerBand).map(r => col(s"sig_${j * rowsPerBand + r}")): _*)
+        struct(lit(j).as("band"), key.as("key"))
+      }
+      val banded = sig
+        .select(col("doc_id"), explode(array(bandStructs: _*)).as("b"))
+        .select(col("doc_id"), col("b.band"), col("b.key"))
+      // candidates: same band + same key; id-ordered to emit each pair once
+      val cand = banded.as("l")
+        .join(banded.as("r"),
+          col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
+            col("l.doc_id") < col("r.doc_id"))
+        .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+        .distinct()
+      // exact verify on the (small) candidate set only
+      cand
+        .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+        .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+            size(array_union(col("sh_a"), col("sh_b"))), 6).as("jaccard"))
+        .withColumn("near_dup", (col("jaccard") >= nearDupThreshold).cast("int"))
+    })
+  )
+
+  // DuckDB replica of the identical scheme (same constants, same md5-prefix
+  // hashing), so the compare checks signature math, banding and the verify.
+  private def sigExprs: String =
+    A.indices.map { i =>
+      s"list_min([(${A(i)} * h + ${B(i)}) % $P for h in hs]) AS sig_$i"
+    }.mkString(",\n             ")
+
+  private def bandSelects: String =
+    (0 until bands).map { j =>
+      val key = (0 until rowsPerBand).map(r => s"sig_${j * rowsPerBand + r}").mkString(", ")
+      s"SELECT doc_id, $j AS band, concat_ws('_', $key) AS key FROM sigs"
+    }.mkString("\n           UNION ALL ")
+
+  val oracleSql: Map[String, String] = Map(
+    "q16_exact_dedup" ->
+      """SELECT md5(text) AS fingerprint, min(doc_id) AS keep_id,
+           count(*) AS n_copies
+         FROM documents GROUP BY md5(text)""",
+    "q17_minhash_neardup" ->
+      s"""WITH docs AS (
+           SELECT doc_id,
+             list_distinct(CASE WHEN len(t) >= 3
+               THEN [array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]
+               ELSE [text] END) AS sh
+           FROM (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents)),
+         hashed AS (
+           SELECT doc_id, sh,
+             [('0x' || substr(md5(x), 1, 15))::BIGINT % $P for x in sh] AS hs
+           FROM docs),
+         sigs AS (
+           SELECT doc_id,
+             $sigExprs
+           FROM hashed),
+         bands AS (
+           $bandSelects),
+         cand AS (
+           SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+           FROM bands l JOIN bands r
+             ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id)
+         SELECT doc_a, doc_b,
+           round(len(list_intersect(a.sh, b.sh)) * 1.0 /
+             len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard,
+           CASE WHEN round(len(list_intersect(a.sh, b.sh)) * 1.0 /
+             len(list_distinct(list_concat(a.sh, b.sh))), 6) >= $nearDupThreshold
+             THEN 1 ELSE 0 END AS near_dup
+         FROM cand
+         JOIN docs a ON cand.doc_a = a.doc_id
+         JOIN docs b ON cand.doc_b = b.doc_id"""
+  )
+}
