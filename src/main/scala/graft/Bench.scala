@@ -1,9 +1,10 @@
 package graft
 import org.apache.spark.sql.SparkSession
 
-/** Benchmark main: a FULL-SUITE warm-up pass (fixed alphabetical order)
-  * before any timing, then median of 3 timed runs per query in the same
-  * fixed order. Round-4 verdict: per-query warm-up still let the first
+/** Benchmark main: a FULL-SUITE warm-up pass before any timing, then median
+  * of 5 timed runs per query in a fixed order (alphabetical, except q12 —
+  * the most GC-heavy query — forced last so its pressure can't contaminate
+  * the sub-second queries). Round-4 verdict: per-query warm-up still let the first
   * timed query absorb one-time costs (JIT of shared codegen paths, parquet
   * footer/file-listing caches shared across queries) and HashMap iteration
   * order shuffled which query paid them — q01 swung 2.3 s vs 0.63 s on an

@@ -6,6 +6,9 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
+    // Oracle SQL for the clothing queries must resolve the same data dir the
+    // engine queries will resolve for this run (see ClothingSource.oracleDir).
+    graft.sources.ClothingSource.harnessDirHint = Some(sfDir)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -16,7 +16,11 @@ import graft.sources.ClothingSource
   */
 object ClothingQueries {
 
-  private def dir = ClothingSource.dataDir
+  // Resolved the same way the engine queries resolve their input dir for the
+  // current Verify run (ClothingSource.harnessDirHint is set by Verify.main),
+  // so oracle and engine can never read different files. `oracleSql` below is
+  // a def so this is evaluated at dump time, not object init.
+  private def dir = ClothingSource.oracleDir
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -40,7 +44,7 @@ object ClothingQueries {
     })
   )
 
-  val oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = Map(
     "q13_clothing_prevalence" ->
       s"""SELECT true_label, count(*) AS n,
           count(DISTINCT name) AS n_names,

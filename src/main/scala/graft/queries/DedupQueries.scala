@@ -23,6 +23,17 @@ import graft.Graft.table
   * prime P = 2^31 - 1, x = first 15 hex chars (60 bits) of md5(shingle).
   * A_i * x < 2^62 so the arithmetic never overflows a signed 64-bit int in
   * either engine.
+  *
+  * Null texts are excluded from q17 (a null document has no shingles; its
+  * band key would degenerate to the empty string and false-cluster all null
+  * rows). q16 still fingerprints nulls (null group counts the copies).
+  *
+  * Skew note (100 TB): exact-duplicate clusters share all 4 band keys, so a
+  * cluster of n exact copies yields O(n^2) candidate pairs. At production
+  * scale run q16 upstream and near-dup only the exact-dedup keepers — band
+  * buckets are then bounded by the NEAR-dup cluster size, which AQE skew
+  * splitting handles. The queries are kept independent here so each is
+  * separately oracle-checked.
   */
 object DedupQueries {
 
@@ -38,8 +49,9 @@ object DedupQueries {
     conv(substring(md5(c), 1, 15), 16, 10).cast("long") % P
 
   /** Distinct word 3-shingles of a space-tokenized text (whole text when
-    * shorter than 3 tokens, mirroring the degenerate-input convention). */
-  private def shingles(text: Column): Column = {
+    * shorter than 3 tokens, mirroring the degenerate-input convention).
+    * private[graft] for direct unit coverage of the degenerate branches. */
+  private[graft] def shingles(text: Column): Column = {
     val toks = split(text, " ")
     array_distinct(
       when(size(toks) >= 3,
@@ -59,8 +71,10 @@ object DedupQueries {
 
     // MinHash-LSH near-dup candidate generation + exact Jaccard verify.
     "q17_minhash_neardup" -> ((s, dir) => {
-      val docs = table(s, dir, "documents")
-        .select(col("doc_id"), shingles(col("text")).as("sh"))
+      val docsText = table(s, dir, "documents")
+        .where(col("text").isNotNull)
+        .select(col("doc_id"), col("text"))
+      val docs = docsText.select(col("doc_id"), shingles(col("text")).as("sh"))
       // hash each shingle once, then take K mins over affine transforms
       val hashed = docs.withColumn("hs", transform(col("sh"), x => hash60(x)))
       val sig = A.indices.foldLeft(hashed) { (df, i) =>
@@ -83,13 +97,19 @@ object DedupQueries {
             col("l.doc_id") < col("r.doc_id"))
         .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
         .distinct()
-      // exact verify on the (small) candidate set only
+      // exact verify on the (small) candidate set only. Join the SLIM
+      // (doc_id, text) relation and re-shingle only the candidate rows —
+      // joining the shingled plan here would re-tokenize the full corpus
+      // twice more (r18 verdict: 3x wasted scan at 100 TB); re-deriving
+      // shingles on candidates is O(|cand|), not O(corpus).
+      val sa = shingles(col("text_a"))
+      val sb = shingles(col("text_b"))
       cand
-        .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-        .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+        .join(docsText.select(col("doc_id").as("doc_a"), col("text").as("text_a")), "doc_a")
+        .join(docsText.select(col("doc_id").as("doc_b"), col("text").as("text_b")), "doc_b")
         .select(col("doc_a"), col("doc_b"),
-          round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-            size(array_union(col("sh_a"), col("sh_b"))), 6).as("jaccard"))
+          round(size(array_intersect(sa, sb)).cast("double") /
+            size(array_union(sa, sb)), 6).as("jaccard"))
         .withColumn("near_dup", (col("jaccard") >= nearDupThreshold).cast("int"))
     })
   )
@@ -118,7 +138,8 @@ object DedupQueries {
              list_distinct(CASE WHEN len(t) >= 3
                THEN [array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]
                ELSE [text] END) AS sh
-           FROM (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents)),
+           FROM (SELECT doc_id, text, string_split(text, ' ') AS t
+                 FROM documents WHERE text IS NOT NULL)),
          hashed AS (
            SELECT doc_id, sh,
              [('0x' || substr(md5(x), 1, 15))::BIGINT % $P for x in sh] AS hs
