@@ -48,6 +48,21 @@ object Graft {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     }
 
+  /** Spread a CPU-heavy per-row stage across all cores when the upstream
+    * scan cannot: the harness fixtures are single-row-group parquet files,
+    * which plan as ONE scan task regardless of `maxPartitionBytes` or core
+    * count, serializing every downstream computation (guide §2 — make
+    * partitioning scale-adaptive, not a constant). No-op when the input
+    * already has at least default-parallelism partitions, so on a real
+    * cluster (where a big scan yields many splits) this never adds a
+    * shuffle. Row order is NOT preserved; callers must be order-insensitive
+    * (rank with deterministic tie-breaks, min/max/count, per-row kernels).
+    */
+  def widen(df: DataFrame): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+  }
+
   /** Read one harness table (TESTDATA.md layout: `<dir>/<name>.parquet`).
     * `events.ts` is TIMESTAMP(NANOS) parquet — read as long nanos and
     * floor-convert to microseconds (identical to DuckDB's ns->us handling

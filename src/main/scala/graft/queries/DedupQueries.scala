@@ -74,7 +74,11 @@ object DedupQueries {
       val docsText = table(s, dir, "documents")
         .where(col("text").isNotNull)
         .select(col("doc_id"), col("text"))
-      val docs = docsText.select(col("doc_id"), shingles(col("text")).as("sh"))
+      // widen: the fixture is a single-row-group file, so without this the
+      // whole shingle+md5+minhash kernel runs in ONE task (no-op at scale,
+      // where the scan is already parallel — see Graft.widen).
+      val docs = graft.Graft.widen(docsText)
+        .select(col("doc_id"), shingles(col("text")).as("sh"))
       // hash each shingle once, then take K mins over affine transforms
       val hashed = docs.withColumn("hs", transform(col("sh"), x => hash60(x)))
       val sig = A.indices.foldLeft(hashed) { (df, i) =>
@@ -90,12 +94,22 @@ object DedupQueries {
       val banded = sig
         .select(col("doc_id"), explode(array(bandStructs: _*)).as("b"))
         .select(col("doc_id"), col("b.band"), col("b.key"))
-      // candidates: same band + same key; id-ordered to emit each pair once
-      val cand = banded.as("l")
-        .join(banded.as("r"),
-          col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
-            col("l.doc_id") < col("r.doc_id"))
-        .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+      // candidates: bucket once on (band, key) and emit each bucket's
+      // id-ordered pairs. Replaces the banded-vs-banded self-join, which
+      // computed the whole signature subtree TWICE (r21 plan audit:
+      // operators 1-6 duplicated as 7-12) and broadcast the full banded
+      // relation; now the minhash pipeline runs once and the only shuffle
+      // is the (band, key) partial aggregation. Same candidate set: within
+      // one bucket each doc_id appears once, so the sorted-array
+      // combinations are exactly the pairs the self-join emitted.
+      val cand = banded
+        .groupBy(col("band"), col("key"))
+        .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+        .where(size(col("ids")) > 1)
+        .select(explode(flatten(transform(col("ids"), (x, i) =>
+          transform(slice(col("ids"), i + lit(2), size(col("ids"))),
+            y => struct(x.as("doc_a"), y.as("doc_b")))))).as("p"))
+        .select(col("p.doc_a"), col("p.doc_b"))
         .distinct()
       // exact verify on the (small) candidate set only. Join the SLIM
       // (doc_id, text) relation and re-shingle only the candidate rows —

@@ -113,14 +113,24 @@ object RelationalQueries {
     }),
 
     // Set ops + semi/anti joins (§2.9 / J3): customers with orders over
-    // threshold that never placed a low-priority order.
+    // threshold that never placed a low-priority order. Computed as ONE
+    // scan + ONE partial aggregation of orders (per-custkey has_big /
+    // has_low flags) + ONE semi join, instead of the original two scans and
+    // two joins (semi + anti): EXISTS(big) AND NOT EXISTS(lowpri) ==
+    // max(big)=1 AND max(lowpri)=0 over the customer's orders. The
+    // aggregation is map-side partial, so the shuffle carries distinct
+    // custkeys, not the filtered order rows (guide §2.3 "aggregate before
+    // you shuffle", §2.4 "remove shuffles outright").
     "q08_semi_anti" -> ((s, dir) => {
       val c = table(s, dir, "customer")
       val o = table(s, dir, "orders")
-      val big = o.filter(col("o_totalprice") > 100000).select(col("o_custkey"))
-      val lowPri = o.filter(col("o_orderpriority") === "5-LOW").select(col("o_custkey"))
-      c.join(big, col("c_custkey") === big("o_custkey"), "left_semi")
-        .join(lowPri, col("c_custkey") === lowPri("o_custkey"), "left_anti")
+      val keep = o.groupBy(col("o_custkey"))
+        .agg(
+          max(when(col("o_totalprice") > 100000, 1).otherwise(0)).as("has_big"),
+          max(when(col("o_orderpriority") === "5-LOW", 1).otherwise(0)).as("has_low"))
+        .where(col("has_big") === 1 && col("has_low") === 0)
+        .select(col("o_custkey"))
+      c.join(keep, col("c_custkey") === keep("o_custkey"), "left_semi")
         .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
     }),
 

@@ -47,7 +47,12 @@ object SimilarityQueries {
     // with built-in levenshtein (F3), custom jaccard_char_distance (F4) and
     // a substring-containment label (P8) as the third voter.
     "q10_seed_label_fuzzy" -> ((s, dir) => {
-      val d = table(s, dir, "documents")
+      // project to (doc_id, text) BEFORE widening (guide §2.3: project
+      // before the exchange); widen so the levenshtein kernel — O(|text| *
+      // |seed|) per pair — parallelizes off the single-row-group fixture
+      // (no-op at scale, see Graft.widen).
+      val d = graft.Graft.widen(
+        table(s, dir, "documents").select(col("doc_id"), col("text")))
       val seedDf = s.createDataFrame(
         seeds.map(org.apache.spark.sql.Row(_)).asJava,
         org.apache.spark.sql.types.StructType(Seq(
