@@ -66,6 +66,29 @@ case class ModalLabel(child: Expression)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** MinHash signature vector over a shingle array<string>: K affine minima
+  * in one codegen'd pass (see MinHash for the bit-parity argument vs the
+  * hex/conv column formulation the DuckDB oracle replays). Returns
+  * array<long> of MinHash.K slots, or NULL for an empty/all-null input
+  * (array_min-of-empty semantics per slot). */
+case class MinHashSignatures(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractType] = Seq(Bridge.asAbstract(ArrayType(StringType)))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true // empty input -> NULL array
+  override def prettyName: String = "minhash_sigs"
+  override protected def nullSafeEval(arr: Any): Any =
+    MinHash.signatures(arr.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"""
+         |${ev.value} = graft.expr.MinHash.signatures($a);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin)
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Cosine similarity between two dense vectors (array<float> or
   * array<double>): the kernel for similarity search / embedding dedup /
   * k-NN graph build (SURVEY §7 scale ops; E7 `print_sim` generalized). */

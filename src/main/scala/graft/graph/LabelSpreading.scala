@@ -91,15 +91,26 @@ object LabelSpreading {
   }
 
   /** Symmetrize + degree-normalize a directed edge list into
-    * S = D^{-1/2} W D^{-1/2} with W = 0.5 * (A + A^T): (src, dst, s). */
+    * S = D^{-1/2} W D^{-1/2} with W = 0.5 * (A + A^T): (src, dst, s).
+    *
+    * Single-pass shape: the A + A^T union is an explode (each directed edge
+    * emits itself and its mirror), and the two degree lookups are window
+    * sums instead of self-joins — the original union referenced the k-NN
+    * subtree twice and the deg join three more times, leaving AQE exchange
+    * reuse to deduplicate five copies of the O(N^2) build; now every
+    * subtree appears exactly once, and no broadcast/driver round-trips are
+    * needed. Degrees are sums of exact binary fractions (multiples of 0.5),
+    * so groupBy-vs-window accumulation order cannot change any value. */
   def normalizedEdges(directed: DataFrame): DataFrame = {
-    val wEdges = directed.select(col("src"), col("dst"), lit(0.5).as("w"))
-      .unionAll(directed.select(col("dst").as("src"), col("src").as("dst"), lit(0.5).as("w")))
+    val wEdges = directed
+      .select(explode(array(
+        struct(col("src"), col("dst")),
+        struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"), lit(0.5).as("w"))
       .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
-    val deg = wEdges.groupBy(col("src")).agg(sum(col("w")).as("deg"))
     wEdges
-      .join(deg.select(col("src"), col("deg").as("deg_src")), "src")
-      .join(deg.select(col("src").as("dst"), col("deg").as("deg_dst")), "dst")
+      .withColumn("deg_src", sum(col("w")).over(Window.partitionBy(col("src"))))
+      .withColumn("deg_dst", sum(col("w")).over(Window.partitionBy(col("dst"))))
       .select(col("src"), col("dst"),
         (col("w") / sqrt(col("deg_src") * col("deg_dst"))).as("s"))
   }
@@ -114,8 +125,14 @@ object LabelSpreading {
     */
   def spread(sEdges: DataFrame, y: DataFrame, idCol: String,
              alpha: Double, iters: Int): DataFrame = {
-    val e = sEdges.persist() // reused every iteration — one materialization
-    val y0 = y.persist()
+    // Hash-partition the loop invariants on their iteration join keys BEFORE
+    // persisting (guide §2.4: two operations keyed the same way share one
+    // exchange). Each iteration then needs exactly ONE exchange — the
+    // groupBy(src) — because e(dst) ⋈ f(id), and y0(id) ⋈ msgs(src), are
+    // co-partitioned merge joins, and each iteration's output comes out
+    // partitioned by id, already aligned for the next round.
+    val e = sEdges.repartition(col("dst")).persist()
+    val y0 = y.repartition(col(idCol)).persist()
     // localCheckpoint (eager) materializes the iterated plan NOW —
     // computing the persisted edges exactly once — then the caches are
     // released so a benchmark or long-lived session doesn't keep the k-NN
@@ -133,12 +150,17 @@ object LabelSpreading {
     * otherwise hides behind a Scan ExistingRDD. */
   def spreadIterPlan(sEdges: DataFrame, y: DataFrame, idCol: String,
                      alpha: Double, iters: Int): DataFrame = {
+    // "merge" hints pin both joins to sort-merge: the inputs are tiny per
+    // partition, so the planner would otherwise pick broadcast joins, each
+    // costing a driver collect + broadcast round-trip per iteration; with
+    // spread's co-partitioned caches the merge joins need no exchange at
+    // all.
     var f = y.select(col(idCol), col("y1").as("f1"), col("y0").as("f0"))
     for (_ <- 1 to iters) {
-      val msgs = sEdges.join(f, sEdges("dst") === f(idCol))
+      val msgs = sEdges.join(f.hint("merge"), sEdges("dst") === f(idCol))
         .groupBy(col("src"))
         .agg(sum(col("s") * col("f1")).as("m1"), sum(col("s") * col("f0")).as("m0"))
-      f = y.join(msgs, y(idCol) === msgs("src"), "left")
+      f = y.join(msgs.hint("merge"), y(idCol) === msgs("src"), "left")
         .select(y(idCol),
           (lit(alpha) * coalesce(col("m1"), lit(0.0)) + lit(1.0 - alpha) * col("y1")).as("f1"),
           (lit(alpha) * coalesce(col("m0"), lit(0.0)) + lit(1.0 - alpha) * col("y0")).as("f0"))

@@ -11,13 +11,14 @@ import graft.Graft.table
   *    fingerprint, keep the minimum doc_id per group. At 100 TB this is THE
   *    way to dedup: the shuffle carries (16-byte hash, id) pairs, never the
   *    document bodies, and the aggregation is a partial/map-side combine.
-  *  - q17 MinHash-LSH near-dup: word 3-shingles -> 60-bit hash -> K=12
-  *    minhash signature -> 4 bands x 3 rows -> band-bucket self-join ->
-  *    exact Jaccard verify on candidates only. The LSH band join replaces
-  *    the O(N^2) all-pairs comparison with a shuffle keyed on band
-  *    signatures; the expensive shingle-set Jaccard runs only on colliding
-  *    pairs. All hashing is plain integer arithmetic on md5 prefixes so the
-  *    DuckDB oracle reproduces it bit-for-bit (no engine-private hash).
+  *  - q17 MinHash-LSH near-dup: word 3-shingles -> K=12 minhash signature
+  *    (one codegen'd kernel pass, graft.expr.MinHash) -> 4 bands x 3 rows
+  *    -> bucket on (band, key) and emit in-bucket pairs -> exact Jaccard
+  *    verify on candidates only. The LSH banding replaces the O(N^2)
+  *    all-pairs comparison with ONE shuffle keyed on band signatures; the
+  *    expensive shingle-set Jaccard runs only on colliding pairs. All
+  *    hashing is plain integer arithmetic on md5 prefixes so the DuckDB
+  *    oracle reproduces it bit-for-bit (no engine-private hash).
   *
   * MinHash scheme: h_i(x) = (A_i * (x mod P) + B_i) mod P over the Mersenne
   * prime P = 2^31 - 1, x = first 15 hex chars (60 bits) of md5(shingle).
@@ -29,24 +30,23 @@ import graft.Graft.table
   * rows). q16 still fingerprints nulls (null group counts the copies).
   *
   * Skew note (100 TB): exact-duplicate clusters share all 4 band keys, so a
-  * cluster of n exact copies yields O(n^2) candidate pairs. At production
-  * scale run q16 upstream and near-dup only the exact-dedup keepers — band
-  * buckets are then bounded by the NEAR-dup cluster size, which AQE skew
-  * splitting handles. The queries are kept independent here so each is
-  * separately oracle-checked.
+  * cluster of n exact copies yields O(n^2) candidate pairs (now emitted as
+  * combinations of one collected bucket row). At production scale run q16
+  * upstream and near-dup only the exact-dedup keepers — band buckets are
+  * then bounded by the NEAR-dup cluster size. The queries are kept
+  * independent here so each is separately oracle-checked.
   */
 object DedupQueries {
 
-  private val P = 2147483647L // 2^31 - 1
-  private val A = Seq(7L, 13L, 31L, 61L, 127L, 251L, 509L, 1021L, 2039L, 4093L, 8191L, 16381L)
-  private val B = Seq(3L, 17L, 29L, 47L, 89L, 151L, 211L, 283L, 359L, 433L, 541L, 631L)
+  // MinHash constants live with the codegen'd kernel (graft.expr.MinHash);
+  // referenced here only to build the DuckDB oracle SQL, which replays the
+  // same arithmetic through the hex/conv formulation.
+  private val P = graft.expr.MinHash.P
+  private val A = graft.expr.MinHash.A.toSeq
+  private val B = graft.expr.MinHash.B.toSeq
   private val bands = 4
   private val rowsPerBand = 3
   private val nearDupThreshold = 0.5
-
-  /** 60-bit integer from the md5 hex prefix, reduced mod P. */
-  private def hash60(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long") % P
 
   /** Distinct word 3-shingles of a space-tokenized text (whole text when
     * shorter than 3 tokens, mirroring the degenerate-input convention).
@@ -79,16 +79,18 @@ object DedupQueries {
       // where the scan is already parallel — see Graft.widen).
       val docs = graft.Graft.widen(docsText)
         .select(col("doc_id"), shingles(col("text")).as("sh"))
-      // hash each shingle once, then take K mins over affine transforms
-      val hashed = docs.withColumn("hs", transform(col("sh"), x => hash60(x)))
-      val sig = A.indices.foldLeft(hashed) { (df, i) =>
-        df.withColumn(s"sig_$i",
-          array_min(transform(col("hs"), h => (lit(A(i)) * h + lit(B(i))) % P)))
-      }
+      // One codegen'd pass computes all K signature slots (MinHashSignatures
+      // kernel). The previous formulation was 13 interpreted HOFs per row —
+      // transform(md5/conv) + 12x array_min(transform(affine)) — each
+      // allocating an intermediate array; identical arithmetic, so the
+      // DuckDB oracle (hex/conv CTEs) still matches bit-for-bit.
+      val sig = docs.select(col("doc_id"),
+        graft.expr.GraftFunctions.minhash_sigs(col("sh")).as("sig"))
       // band keys: r consecutive signature slots joined into one string key
       val bandStructs = (0 until bands).map { j =>
         val key = concat_ws("_",
-          (0 until rowsPerBand).map(r => col(s"sig_${j * rowsPerBand + r}")): _*)
+          (0 until rowsPerBand).map(r =>
+            element_at(col("sig"), j * rowsPerBand + r + 1)): _*)
         struct(lit(j).as("band"), key.as("key"))
       }
       val banded = sig
@@ -115,12 +117,19 @@ object DedupQueries {
       // (doc_id, text) relation and re-shingle only the candidate rows —
       // joining the shingled plan here would re-tokenize the full corpus
       // twice more (r18 verdict: 3x wasted scan at 100 TB); re-deriving
-      // shingles on candidates is O(|cand|), not O(corpus).
+      // shingles on candidates is O(|cand|), not O(corpus). The candidate
+      // side is explicitly broadcast (guide §3.1): cand is tiny by LSH
+      // construction while docsText is the corpus — the planner was
+      // broadcasting docsText (collect + ship the whole corpus per join),
+      // which inverts at scale; streaming the corpus past a broadcast
+      // candidate list is the shape that survives 100 TB.
       val sa = shingles(col("text_a"))
       val sb = shingles(col("text_b"))
-      cand
-        .join(docsText.select(col("doc_id").as("doc_a"), col("text").as("text_a")), "doc_a")
-        .join(docsText.select(col("doc_id").as("doc_b"), col("text").as("text_b")), "doc_b")
+      val withA = docsText
+        .join(broadcast(cand), col("doc_id") === col("doc_a"))
+        .select(col("doc_a"), col("doc_b"), col("text").as("text_a"))
+      docsText.select(col("doc_id"), col("text").as("text_b"))
+        .join(broadcast(withA), col("doc_id") === col("doc_b"))
         .select(col("doc_a"), col("doc_b"),
           round(size(array_intersect(sa, sb)).cast("double") /
             size(array_union(sa, sb)), 6).as("jaccard"))

@@ -105,7 +105,10 @@ object RelationalQueries {
     "q07_events_json" -> ((s, dir) => {
       import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
       val propsSchema = StructType(Seq(StructField("k", IntegerType)))
-      table(s, dir, "events")
+      // project to the two needed columns, then widen: the JSON parse is the
+      // per-row CPU kernel here and the fixture scan is one task (no-op at
+      // scale — see Graft.widen).
+      graft.Graft.widen(table(s, dir, "events").select(col("event_type"), col("props")))
         .withColumn("k", from_json(col("props"), propsSchema).getField("k"))
         .groupBy(col("event_type"))
         .agg(round(avg(col("k")), 4).as("avg_k"), max(col("k")).as("max_k"),

@@ -71,6 +71,35 @@ class DedupQueriesSpec extends AnyFunSuite {
     assert(!pairs.keys.exists { case (a, b) => a == 3L || b == 3L || a == 6L || b == 6L })
   }
 
+  test("minhash_sigs kernel is bit-identical to the hex/conv HOF formulation") {
+    import org.apache.spark.sql.functions._
+    val dir = writeFixture()
+    val sh = spark.read.parquet(s"$dir/documents.parquet")
+      .where(col("text").isNotNull)
+      .select(col("doc_id"), DedupQueries.shingles(col("text")).as("sh"))
+    val P = graft.expr.MinHash.P
+    val A = graft.expr.MinHash.A
+    val B = graft.expr.MinHash.B
+    // the original column pipeline: md5 -> 15 hex chars -> base16 -> mod P,
+    // then 12 affine minima via transform + array_min
+    val hashed = sh.withColumn("hs", transform(col("sh"), x =>
+      conv(substring(md5(x), 1, 15), 16, 10).cast("long") % P))
+    val viaHofs = A.indices.foldLeft(hashed) { (df, i) =>
+      df.withColumn(s"sig_$i",
+        array_min(transform(col("hs"), h => (lit(A(i)) * h + lit(B(i))) % P)))
+    }.select(col("doc_id") +: A.indices.map(i => col(s"sig_$i")): _*)
+      .collect()
+      .map(r => r.getLong(0) -> A.indices.map(i => r.getLong(i + 1)).toSeq)
+      .toMap
+    val viaKernel = sh.select(col("doc_id"),
+      graft.expr.GraftFunctions.minhash_sigs(col("sh")).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(viaKernel.keySet == viaHofs.keySet)
+    viaKernel.foreach { case (id, sigs) =>
+      assert(sigs == viaHofs(id), s"doc $id signature mismatch")
+    }
+  }
+
   test("shingles: degenerate branches — short, empty") {
     import org.apache.spark.sql.functions.col
     val df = spark.createDataFrame(
