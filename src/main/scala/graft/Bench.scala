@@ -19,6 +19,14 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // Always use the sort-based shuffle writer: the bypass-merge writer
+      // opens numPartitions files PER MAP TASK (32x32 per stage here),
+      // which dominates small-shuffle stages on file-create-slow storage
+      // (r21 within-process A/B: q12 6.14s -> 2.65s). At production
+      // partition counts (> 200) the sort writer is the default path
+      // anyway, so this makes local runs match the at-scale behavior.
+      .config("spark.shuffle.sort.bypassMergeThreshold",
+        sys.env.getOrElse("GRAFT_BYPASS_THRESHOLD", "1"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -21,6 +21,9 @@ object Graft {
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // sort-based shuffle writer: one file per map task instead of one per
+      // reduce partition (see Bench.scala for the A/B evidence)
+      .config("spark.shuffle.sort.bypassMergeThreshold", "1")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -13,11 +13,17 @@ object Probe {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      .config("spark.eventLog.enabled", sys.env.getOrElse("GRAFT_EVENTLOG", "false"))
+      .config("spark.eventLog.dir", "/tmp/spark-events")
+      .config("spark.shuffle.sort.bypassMergeThreshold",
+        sys.env.getOrElse("GRAFT_BYPASS_THRESHOLD", "200"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Graft.registerFunctions(spark)
 
-    def time(name: String)(mk: => org.apache.spark.sql.DataFrame): Unit = {
+    // optional substring filter: GRAFT_PROBE_ONLY=q12.full runs just that probe
+    val only = sys.env.get("GRAFT_PROBE_ONLY")
+    def time(name: String)(mk: => org.apache.spark.sql.DataFrame): Unit = if (only.forall(name.contains)) {
       // warm once, then median of 3
       def once(): Double = {
         val t0 = System.nanoTime()

@@ -14,6 +14,8 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // sort-based shuffle writer (see Bench.scala)
+      .config("spark.shuffle.sort.bypassMergeThreshold", "1")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
