@@ -43,11 +43,10 @@ import graft.expr.GraftFunctions.dot_product
   * Scale path (100 TB): the exact k-NN build is the O(N^2) correctness
   * oracle; swap `knnEdges` for an LSH-bucketed candidate join (same output
   * schema) to scale — the spread itself is linear in edges per iteration
-  * (one shuffle on dst, one on src). The normalized edge table is persisted
-  * so the 10-iteration plan reuses one materialization instead of
-  * recomputing the N^2 scan per iteration; on a long-running cluster job,
-  * `localCheckpoint` every few iterations would additionally truncate
-  * lineage (not needed for a fixed 10).
+  * (one shuffle on dst, one on src). The normalized edge table is eagerly
+  * localCheckpointed so the iterated plan reuses one materialization
+  * instead of recomputing the N^2 scan per iteration, and so the logical
+  * plan the optimizer sees stays iteration-sized.
   */
 object LabelSpreading {
 
@@ -72,8 +71,12 @@ object LabelSpreading {
     val l = graft.Graft.widen(
       withN2.select(col(idCol).as("src"), col(vecCol).as("vec_src"), col("n2").as("n2_src")))
     val r = withN2.select(col(idCol).as("dst"), col(vecCol).as("vec_dst"), col("n2").as("n2_dst"))
-    val pairs = l.crossJoin(broadcast(r))
-      .filter(col("src") =!= col("dst"))
+    // Each unordered pair is scored ONCE (src < dst) and mirrored by an
+    // explode — cosine is symmetric bit-for-bit (multiplication commutes
+    // per index; the norm product commutes), so this halves the O(N^2)
+    // kernel evaluations without changing any ranked value.
+    val half = l.crossJoin(broadcast(r))
+      .filter(col("src") < col("dst"))
       .select(col("src"), col("dst"),
         round(
           when(size(col("vec_src")) =!= size(col("vec_dst")), lit(null).cast("double"))
@@ -81,6 +84,11 @@ object LabelSpreading {
             .otherwise(
               dot_product(col("vec_src"), col("vec_dst")) /
                 (sqrt(col("n2_src")) * sqrt(col("n2_dst")))), 6).as("sim"))
+    val pairs = half
+      .select(explode(array(
+        struct(col("src"), col("dst"), col("sim")),
+        struct(col("dst").as("src"), col("src").as("dst"), col("sim")))).as("p"))
+      .select(col("p.src").as("src"), col("p.dst").as("dst"), col("p.sim").as("sim"))
     // row_number + filter <= k: InferWindowGroupLimit inserts a partial
     // group-limit before the shuffle, so each map partition ships at most k
     // candidates per src instead of N-1.
@@ -125,23 +133,25 @@ object LabelSpreading {
     */
   def spread(sEdges: DataFrame, y: DataFrame, idCol: String,
              alpha: Double, iters: Int): DataFrame = {
-    // Hash-partition the loop invariants on their iteration join keys BEFORE
-    // persisting (guide §2.4: two operations keyed the same way share one
-    // exchange). Each iteration then needs exactly ONE exchange — the
-    // groupBy(src) — because e(dst) ⋈ f(id), and y0(id) ⋈ msgs(src), are
-    // co-partitioned merge joins, and each iteration's output comes out
-    // partitioned by id, already aligned for the next round.
-    val e = sEdges.repartition(col("dst")).persist()
-    val y0 = y.repartition(col(idCol)).persist()
-    // localCheckpoint (eager) materializes the iterated plan NOW —
-    // computing the persisted edges exactly once — then the caches are
-    // released so a benchmark or long-lived session doesn't keep the k-NN
-    // edge blocks resident (and a later timed run can't silently reuse
-    // them). Also truncates the iterative lineage.
-    val out = spreadIterPlan(e, y0, idCol, alpha, iters).localCheckpoint()
-    e.unpersist()
-    y0.unpersist()
-    out
+    // Eagerly localCheckpoint the loop invariants (guide §3: materialising
+    // an intermediate truncates the plan). Checkpointing (vs persist)
+    // truncates the LOGICAL plan too: the 5-iteration tree otherwise embeds
+    // the O(N^2) k-NN subtree 5x and y 11x, costing ~1 s of
+    // analyzer/optimizer time per run (r21 event-log audit) before cache
+    // substitution even happens. The iteration joins are left to the
+    // planner: an r21 A/B showed pre-partitioning the invariants +
+    // merge-hinting the joins LOSES (3.97 s vs 2.78 s) because AQE's
+    // partition coalescing re-keys the tiny exchanges and breaks the
+    // intended co-partitioning, while the planner's broadcast choice needs
+    // no exchange at all on the join side — the only shuffle per iteration
+    // is the groupBy(src). Everything is still computed from parquet on
+    // every invocation — the checkpoints are built inside this call.
+    val e = sEdges.localCheckpoint()
+    val y0 = y.localCheckpoint()
+    // the final checkpoint materializes the iterated plan NOW; the loop
+    // invariants' blocks are released by the ContextCleaner when their
+    // RDDs go out of scope.
+    spreadIterPlan(e, y0, idCol, alpha, iters).localCheckpoint()
   }
 
   /** The pure (un-materialized) plan of the iteration — spread's body
@@ -157,10 +167,10 @@ object LabelSpreading {
     // all.
     var f = y.select(col(idCol), col("y1").as("f1"), col("y0").as("f0"))
     for (_ <- 1 to iters) {
-      val msgs = sEdges.join(f.hint("merge"), sEdges("dst") === f(idCol))
+      val msgs = sEdges.join(f, sEdges("dst") === f(idCol))
         .groupBy(col("src"))
         .agg(sum(col("s") * col("f1")).as("m1"), sum(col("s") * col("f0")).as("m0"))
-      f = y.join(msgs.hint("merge"), y(idCol) === msgs("src"), "left")
+      f = y.join(msgs, y(idCol) === msgs("src"), "left")
         .select(y(idCol),
           (lit(alpha) * coalesce(col("m1"), lit(0.0)) + lit(1.0 - alpha) * col("y1")).as("f1"),
           (lit(alpha) * coalesce(col("m0"), lit(0.0)) + lit(1.0 - alpha) * col("y0")).as("f0"))
