@@ -10,8 +10,10 @@ object ABProbe {
     val key = sys.env.getOrElse("GRAFT_AB_KEY", "spark.shuffle.sort.bypassMergeThreshold")
     val va = sys.env.getOrElse("GRAFT_AB_A", "200")
     val vb = sys.env.getOrElse("GRAFT_AB_B", "1")
-    val qnames = Seq("q12_label_propagation", "q17_minhash_neardup",
-      "q10_seed_label_fuzzy", "q01_pricing_summary")
+    val qnames = sys.env.get("GRAFT_AB_QUERIES")
+      .map(_.split(",").toSeq)
+      .getOrElse(Seq("q12_label_propagation", "q17_minhash_neardup",
+        "q10_seed_label_fuzzy", "q01_pricing_summary"))
 
     def runArm(v: String): Map[String, Double] = {
       val spark = org.apache.spark.sql.SparkSession.builder()

@@ -62,6 +62,7 @@ object Graft {
     * (rank with deterministic tie-breaks, min/max/count, per-row kernels).
     */
   def widen(df: DataFrame): DataFrame = {
+    if (df.sparkSession.conf.get("graft.widen.enabled", "true") == "false") return df
     val par = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < par) df.repartition(par) else df
   }

@@ -76,9 +76,11 @@ object DedupQueries {
         .select(col("doc_id"), col("text"))
       // widen: the fixture is a single-row-group file, so without this the
       // whole shingle+md5+minhash kernel runs in ONE task (no-op at scale,
-      // where the scan is already parallel — see Graft.widen).
-      val docs = graft.Graft.widen(docsText)
-        .select(col("doc_id"), shingles(col("text")).as("sh"))
+      // where the scan is already parallel — see Graft.widen). The same
+      // widened relation feeds the verify stream below, so the exchange is
+      // reused at runtime.
+      val docsWide = graft.Graft.widen(docsText)
+      val docs = docsWide.select(col("doc_id"), shingles(col("text")).as("sh"))
       // One codegen'd pass computes all K signature slots (MinHashSignatures
       // kernel). The previous formulation was 13 interpreted HOFs per row —
       // transform(md5/conv) + 12x array_min(transform(affine)) — each
@@ -128,7 +130,9 @@ object DedupQueries {
       val withA = docsText
         .join(broadcast(cand), col("doc_id") === col("doc_a"))
         .select(col("doc_a"), col("doc_b"), col("text").as("text_a"))
-      docsText.select(col("doc_id"), col("text").as("text_b"))
+      // the final stream computes BOTH candidate shingle sets per matched
+      // row — widened so the fixture's one-task scan doesn't serialize it
+      docsWide.select(col("doc_id"), col("text").as("text_b"))
         .join(broadcast(withA), col("doc_id") === col("doc_b"))
         .select(col("doc_a"), col("doc_b"),
           round(size(array_intersect(sa, sb)).cast("double") /

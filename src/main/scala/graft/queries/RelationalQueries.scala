@@ -84,7 +84,11 @@ object RelationalQueries {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(col("o_custkey"))
         .orderBy(desc("o_orderdate"), asc("o_orderkey"))
-      table(s, dir, "orders")
+      // project to the 4 needed columns, then widen: the per-partition sort
+      // feeding the partial WindowGroupLimit is the CPU kernel here and the
+      // fixture scan is one task (no-op at scale — see Graft.widen).
+      graft.Graft.widen(table(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("o_orderdate")))
         .withColumn("rnk", row_number().over(w))
         .filter(col("rnk") <= 3)
         .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rnk"))
