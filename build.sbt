@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked process's stdout through UNDECORATED: the default logged
+// strategy prefixes every line with "[info] ", which has broken the driver's
+// parse of Bench's one-line JSON in every round since r17 (parsed: null in
+// BENCH_rNN; PERF per_query always empty).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

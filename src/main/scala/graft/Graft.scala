@@ -21,9 +21,11 @@ object Graft {
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
-      // sort-based shuffle writer: one file per map task instead of one per
-      // reduce partition (see Bench.scala for the A/B evidence)
-      .config("spark.shuffle.sort.bypassMergeThreshold", "1")
+      // shuffle-writer threshold back at the Spark default — the r21 forced
+      // sort writer (=1) regressed q02/q03 in the driver's ground-truth
+      // bench (see Bench.scala)
+      .config("spark.shuffle.sort.bypassMergeThreshold",
+        sys.env.getOrElse("GRAFT_BYPASS_THRESHOLD", "200"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -14,8 +14,9 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      // sort-based shuffle writer (see Bench.scala)
-      .config("spark.shuffle.sort.bypassMergeThreshold", "1")
+      // shuffle-writer threshold at the Spark default (see Bench.scala)
+      .config("spark.shuffle.sort.bypassMergeThreshold",
+        sys.env.getOrElse("GRAFT_BYPASS_THRESHOLD", "200"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

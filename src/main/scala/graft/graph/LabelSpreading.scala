@@ -160,11 +160,9 @@ object LabelSpreading {
     * otherwise hides behind a Scan ExistingRDD. */
   def spreadIterPlan(sEdges: DataFrame, y: DataFrame, idCol: String,
                      alpha: Double, iters: Int): DataFrame = {
-    // "merge" hints pin both joins to sort-merge: the inputs are tiny per
-    // partition, so the planner would otherwise pick broadcast joins, each
-    // costing a driver collect + broadcast round-trip per iteration; with
-    // spread's co-partitioned caches the merge joins need no exchange at
-    // all.
+    // Join strategy is deliberately left to the planner (broadcast): an r21
+    // A/B showed pre-partitioning the invariants + merge-hinting LOSES
+    // (3.97 s vs 2.78 s) — see spread()'s comment.
     var f = y.select(col(idCol), col("y1").as("f1"), col("y0").as("f0"))
     for (_ <- 1 to iters) {
       val msgs = sEdges.join(f, sEdges("dst") === f(idCol))
