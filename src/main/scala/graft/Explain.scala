@@ -13,10 +13,13 @@ object Explain {
     val spark = Graft.session(master = "local[4]", shufflePartitions = 4)
     names.foreach { n =>
       println(s"\n================ $n ================")
-      // q12's spread eagerly localCheckpoints, which reduces its explain to
-      // a Scan ExistingRDD — print the identical un-materialized plan.
+      // q12's spread and q17's candidate set eagerly localCheckpoint, which
+      // reduces their explain to a Scan ExistingRDD — print the identical
+      // un-materialized plans.
       if (n == "q12_label_propagation")
         graft.queries.GraphQueries.q12(spark, sfDir, materialize = false).explain("formatted")
+      else if (n == "q17_minhash_neardup")
+        graft.queries.DedupQueries.q17(spark, sfDir, materialize = false).explain("formatted")
       else
         SparkEntry.queries(n)(spark, sfDir).explain("formatted")
     }

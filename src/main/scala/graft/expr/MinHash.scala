@@ -36,13 +36,33 @@ object MinHash {
     override def initialValue(): java.security.MessageDigest =
       java.security.MessageDigest.getInstance("MD5")
   }
+  // Reusable per-thread buffers: the r21 kernel allocated a fresh byte[]
+  // per shingle twice over (UTF8String.getBytes copy + digest() output),
+  // ~100 allocations/row across 32 threads — pure GC pressure in the hot
+  // loop (guide §1.2 per-task work). Input buffer grows geometrically and
+  // sticks at the high-water mark; digest output is a fixed 16 bytes.
+  private val inBuf = new ThreadLocal[Array[Byte]] {
+    override def initialValue(): Array[Byte] = new Array[Byte](256)
+  }
+  private val outBuf = new ThreadLocal[Array[Byte]] {
+    override def initialValue(): Array[Byte] = new Array[Byte](16)
+  }
 
   /** 60-bit md5 prefix of the UTF-8 bytes, reduced mod P — identical to
     * `conv(substring(md5(s), 1, 15), 16, 10)::long % P`. */
   def hash60(s: UTF8String): Long = {
     val d = md5.get()
     d.reset()
-    val digest = d.digest(s.getBytes)
+    val n = s.numBytes()
+    var in = inBuf.get()
+    if (in.length < n) {
+      in = new Array[Byte](java.lang.Math.max(n, in.length * 2))
+      inBuf.set(in)
+    }
+    s.writeToMemory(in, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET)
+    d.update(in, 0, n)
+    val digest = outBuf.get()
+    d.digest(digest, 0, 16)
     var v = 0L
     var i = 0
     while (i < 8) { v = (v << 8) | (digest(i) & 0xffL); i += 1 }

@@ -30,8 +30,10 @@ import graft.Graft.table
   * rows). q16 still fingerprints nulls (null group counts the copies).
   *
   * Skew note (100 TB): exact-duplicate clusters share all 4 band keys, so a
-  * cluster of n exact copies yields O(n^2) candidate pairs (now emitted as
-  * combinations of one collected bucket row). At production scale run q16
+  * cluster of n exact copies yields O(n^2) candidate pairs. The pair
+  * generation is a two-level explode, so no single row ever holds more than
+  * the bucket's O(n) id list (the O(n^2) blowup streams through the
+  * generator instead of materializing per row). At production scale run q16
   * upstream and near-dup only the exact-dedup keepers — band buckets are
   * then bounded by the NEAR-dup cluster size. The queries are kept
   * independent here so each is separately oracle-checked.
@@ -70,15 +72,25 @@ object DedupQueries {
     }),
 
     // MinHash-LSH near-dup candidate generation + exact Jaccard verify.
-    "q17_minhash_neardup" -> ((s, dir) => {
+    "q17_minhash_neardup" -> ((s, dir) => q17(s, dir, materialize = true))
+  )
+
+  /** `materialize = true` is the real query (the two provably-tiny
+    * intermediates — candidate pairs and candidate docs — are eagerly
+    * localCheckpointed so the expensive MinHash pipeline and the corpus
+    * scan each run exactly ONCE; still fully computed from parquet on every
+    * invocation). `materialize = false` returns the identical logical plan
+    * without checkpoints so graft.Explain can print the full physical plan
+    * (a checkpoint otherwise hides its subtree behind a Scan ExistingRDD). */
+  private[graft] def q17(s: SparkSession, dir: String, materialize: Boolean): DataFrame = {
       val docsText = table(s, dir, "documents")
         .where(col("text").isNotNull)
         .select(col("doc_id"), col("text"))
       // widen: the fixture is a single-row-group file, so without this the
       // whole shingle+md5+minhash kernel runs in ONE task (no-op at scale,
-      // where the scan is already parallel — see Graft.widen). The same
-      // widened relation feeds the verify stream below, so the exchange is
-      // reused at runtime.
+      // where the scan is already parallel — see Graft.widen). The corpus is
+      // scanned exactly twice per invocation: once by the signature pipeline
+      // and once by the candidate semi-join below (was three passes in r21).
       val docsWide = graft.Graft.widen(docsText)
       val docs = docsWide.select(col("doc_id"), shingles(col("text")).as("sh"))
       // One codegen'd pass computes all K signature slots (MinHashSignatures
@@ -105,41 +117,59 @@ object DedupQueries {
       // relation; now the minhash pipeline runs once and the only shuffle
       // is the (band, key) partial aggregation. Same candidate set: within
       // one bucket each doc_id appears once, so the sorted-array
-      // combinations are exactly the pairs the self-join emitted.
-      val cand = banded
+      // combinations are exactly the pairs the self-join emitted. Pair
+      // generation is a TWO-LEVEL explode (posexplode the bucket, then
+      // explode each element's ordered partners): the r21 single explode
+      // of flatten(transform(...)) materialized a bucket's whole O(n^2)
+      // pair array in ONE row — an aggregation-buffer OOM on a hot
+      // (band, key) bucket (guide §2.5/§5); this form never holds more
+      // than the O(n) id list per row, with an identical pair set.
+      val candPlan = banded
         .groupBy(col("band"), col("key"))
         .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
         .where(size(col("ids")) > 1)
-        .select(explode(flatten(transform(col("ids"), (x, i) =>
-          transform(slice(col("ids"), i + lit(2), size(col("ids"))),
-            y => struct(x.as("doc_a"), y.as("doc_b")))))).as("p"))
-        .select(col("p.doc_a"), col("p.doc_b"))
+        .select(col("ids"), posexplode(col("ids")))
+        .select(col("col").as("doc_a"),
+          explode(slice(col("ids"), col("pos") + lit(2), size(col("ids")))).as("doc_b"))
         .distinct()
-      // exact verify on the (small) candidate set only. Join the SLIM
-      // (doc_id, text) relation and re-shingle only the candidate rows —
-      // joining the shingled plan here would re-tokenize the full corpus
-      // twice more (r18 verdict: 3x wasted scan at 100 TB); re-deriving
-      // shingles on candidates is O(|cand|), not O(corpus). The candidate
-      // side is explicitly broadcast (guide §3.1): cand is tiny by LSH
-      // construction while docsText is the corpus — the planner was
-      // broadcasting docsText (collect + ship the whole corpus per join),
-      // which inverts at scale; streaming the corpus past a broadcast
-      // candidate list is the shape that survives 100 TB.
+      // cand is referenced three times below (pair attach + both ends of
+      // the id list); eagerly materializing it guarantees the MinHash
+      // pipeline runs exactly once per invocation instead of gambling on
+      // runtime exchange reuse across duplicated subtrees (guide §3.3:
+      // materialize an intermediate to truncate the plan). It is tiny by
+      // LSH construction (colliding pairs only).
+      val cand = if (materialize) candPlan.localCheckpoint() else candPlan
+      // exact verify on the (small) candidate set only, in the shape that
+      // survives 100 TB (guide §3.1/§8): the corpus is streamed ONCE past a
+      // broadcast of the candidate doc_ids (a left-semi join — ids only,
+      // never document bodies), and every later join touches only the
+      // surviving O(|cand|) rows — so no join below ever broadcasts or
+      // shuffles full documents of more than ~2|cand| rows. The r21 shape
+      // broadcast candidate rows WITH full text bodies (|cand| x doc size,
+      // the r21 ADVICE hazard) and streamed the corpus twice; this one
+      // moves document bodies exactly once (§8: decide with small rows,
+      // move big rows once). Shingles are re-derived on candidate rows
+      // only: O(|cand|), not O(corpus).
+      val candIds = cand
+        .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+        .distinct()
+      val candDocsPlan = docsWide
+        .join(broadcast(candIds), Seq("doc_id"), "left_semi")
+      // candDocs feeds both the text_a and text_b side; checkpointing it
+      // keeps the verify at exactly one corpus pass.
+      val candDocs = if (materialize) candDocsPlan.localCheckpoint() else candDocsPlan
       val sa = shingles(col("text_a"))
       val sb = shingles(col("text_b"))
-      val withA = docsText
+      val withA = candDocs
         .join(broadcast(cand), col("doc_id") === col("doc_a"))
         .select(col("doc_a"), col("doc_b"), col("text").as("text_a"))
-      // the final stream computes BOTH candidate shingle sets per matched
-      // row — widened so the fixture's one-task scan doesn't serialize it
-      docsWide.select(col("doc_id"), col("text").as("text_b"))
-        .join(broadcast(withA), col("doc_id") === col("doc_b"))
+      candDocs.select(col("doc_id"), col("text").as("text_b"))
+        .join(withA, col("doc_id") === col("doc_b"))
         .select(col("doc_a"), col("doc_b"),
           round(size(array_intersect(sa, sb)).cast("double") /
             size(array_union(sa, sb)), 6).as("jaccard"))
         .withColumn("near_dup", (col("jaccard") >= nearDupThreshold).cast("int"))
-    })
-  )
+  }
 
   // DuckDB replica of the identical scheme (same constants, same md5-prefix
   // hashing), so the compare checks signature math, banding and the verify.
