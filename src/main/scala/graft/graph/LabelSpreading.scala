@@ -84,11 +84,19 @@ object LabelSpreading {
             .otherwise(
               dot_product(col("vec_src"), col("vec_dst")) /
                 (sqrt(col("n2_src")) * sqrt(col("n2_dst")))), 6).as("sim"))
+    // Mirror each scored half-pair into both directions by exploding a
+    // constant 2-element array and swapping via conditional projection.
+    // The r21 mirror exploded array(struct, struct), which materialized two
+    // fresh structs per pair inside the generator — an r22 probe measured
+    // that allocation at ~0.5 s of the 0.98 s knnEdges stage; the constant
+    // array is folded once and the swap is two codegen'd conditionals.
     val pairs = half
-      .select(explode(array(
-        struct(col("src"), col("dst"), col("sim")),
-        struct(col("dst").as("src"), col("src").as("dst"), col("sim")))).as("p"))
-      .select(col("p.src").as("src"), col("p.dst").as("dst"), col("p.sim").as("sim"))
+      .select(col("src"), col("dst"), col("sim"),
+        explode(array(lit(0), lit(1))).as("m"))
+      .select(
+        when(col("m") === 0, col("src")).otherwise(col("dst")).as("src"),
+        when(col("m") === 0, col("dst")).otherwise(col("src")).as("dst"),
+        col("sim"))
     // row_number + filter <= k: InferWindowGroupLimit inserts a partial
     // group-limit before the shuffle, so each map partition ships at most k
     // candidates per src instead of N-1.
@@ -162,7 +170,12 @@ object LabelSpreading {
                      alpha: Double, iters: Int): DataFrame = {
     // Join strategy is deliberately left to the planner (broadcast): an r21
     // A/B showed pre-partitioning the invariants + merge-hinting LOSES
-    // (3.97 s vs 2.78 s) — see spread()'s comment.
+    // (3.97 s vs 2.78 s) — see spread()'s comment. An r22 A/B additionally
+    // tried folding the seed left-join into the message groupBy via a
+    // flagged union (one shuffle per iteration): it LOSES too (2.47 s vs
+    // 2.04 s median) — the union ships seed rows + a flag column and a
+    // 4-function conditional aggregate through the exchange, costing more
+    // than the broadcast left-join it removes at this edge count.
     var f = y.select(col(idCol), col("y1").as("f1"), col("y0").as("f0"))
     for (_ <- 1 to iters) {
       val msgs = sEdges.join(f, sEdges("dst") === f(idCol))

@@ -84,11 +84,13 @@ object RelationalQueries {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(col("o_custkey"))
         .orderBy(desc("o_orderdate"), asc("o_orderkey"))
-      // project to the 4 needed columns, then widen: the per-partition sort
-      // feeding the partial WindowGroupLimit is the CPU kernel here and the
-      // fixture scan is one task (no-op at scale — see Graft.widen).
-      graft.Graft.widen(table(s, dir, "orders")
-        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("o_orderdate")))
+      // NO widen here (r21 added one; driver bench regressed 1.7x and the
+      // r22 in-JVM A/B confirms 0.77 s -> 0.36 s without): the window's own
+      // hash exchange on o_custkey already fans the sort kernel out to every
+      // core, so a round-robin repartition upstream only ships the full rows
+      // through one extra exchange to parallelize a trivial scan+project.
+      table(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("o_orderdate"))
         .withColumn("rnk", row_number().over(w))
         .filter(col("rnk") <= 3)
         .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rnk"))
