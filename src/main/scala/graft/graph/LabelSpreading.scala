@@ -136,58 +136,99 @@ object LabelSpreading {
     * @param sEdges normalized edges (src, dst, s) — every id must appear as
     *               a src (guaranteed by k-NN construction, k >= 1)
     * @param y      clamped seeds (id, y1, y0): 1.0/0.0 one-hot for labelled
-    *               rows, 0.0/0.0 for unlabelled
+    *               rows, 0.0/0.0 for unlabelled; must contain every id that
+    *               appears in sEdges (both invariants are what lets the
+    *               seed term ride the edge table below)
     * @return (id, f1, f0) raw (unrounded) label distributions
+    *
+    * Materialization of the loop invariant is configurable via
+    * `graft.spread.materialize`:
+    *  - `localCheckpoint` (default): cheapest — truncates both the logical
+    *    plan (the 5-iteration tree otherwise embeds the O(N^2) k-NN subtree
+    *    5x, costing ~1 s of analyzer/optimizer time per run, r21 event-log
+    *    audit) and the lineage. Failure mode at cluster scale: the blocks
+    *    are executor-local and NOT replicated, so losing one executor makes
+    *    the job unrecoverable mid-iteration — acceptable for a benchmark or
+    *    short job, wrong for a long 100 TB run.
+    *  - `persist`: MEMORY_AND_DISK cache with lineage retained — an
+    *    executor loss recomputes the lost partitions instead of failing the
+    *    job. Costs the full logical plan in the optimizer (mitigated here:
+    *    the iterated tree references the invariant via its cached plan
+    *    fragment) and a count() to populate the cache.
     */
   def spread(sEdges: DataFrame, y: DataFrame, idCol: String,
              alpha: Double, iters: Int): DataFrame = {
-    // Eagerly localCheckpoint the loop invariants (guide §3: materialising
-    // an intermediate truncates the plan). Checkpointing (vs persist)
-    // truncates the LOGICAL plan too: the 5-iteration tree otherwise embeds
-    // the O(N^2) k-NN subtree 5x and y 11x, costing ~1 s of
-    // analyzer/optimizer time per run (r21 event-log audit) before cache
-    // substitution even happens. The iteration joins are left to the
-    // planner: an r21 A/B showed pre-partitioning the invariants +
-    // merge-hinting the joins LOSES (3.97 s vs 2.78 s) because AQE's
-    // partition coalescing re-keys the tiny exchanges and breaks the
-    // intended co-partitioning, while the planner's broadcast choice needs
-    // no exchange at all on the join side — the only shuffle per iteration
-    // is the groupBy(src). Everything is still computed from parquet on
-    // every invocation — the checkpoints are built inside this call.
-    val e = sEdges.localCheckpoint()
-    val y0 = y.localCheckpoint()
-    // the final checkpoint materializes the iterated plan NOW; the loop
-    // invariants' blocks are released by the ContextCleaner when their
-    // RDDs go out of scope.
-    spreadIterPlan(e, y0, idCol, alpha, iters).localCheckpoint()
+    // Materialize ONE loop invariant: the seeded edge table (src, dst, s,
+    // y1, y0) — the seed distribution is joined onto the edges ONCE here,
+    // so each iteration is a single join + a single partial-agg shuffle
+    // (see iterate). The iteration joins are left to the planner: an r21
+    // A/B showed pre-partitioning the invariants + merge-hinting the joins
+    // LOSES (3.97 s vs 2.78 s) because AQE's partition coalescing re-keys
+    // the tiny exchanges and breaks the intended co-partitioning, while the
+    // planner's broadcast choice needs no exchange at all on the join side
+    // — the only shuffle per iteration is the groupBy(src). Everything is
+    // still computed from parquet on every invocation — the
+    // materializations happen inside this call.
+    val e2 = materialize(seededEdges(sEdges, y, idCol))
+    val out = materialize(iterate(e2, y, idCol, alpha, iters))
+    // out is materialized, so the invariant's blocks are dead weight now —
+    // free them eagerly instead of waiting for a GC-driven ContextCleaner
+    // pass (in `persist` mode out's lineage can still recompute e2 if a
+    // partition is lost).
+    e2.unpersist(blocking = false)
+    org.apache.spark.sql.graftbridge.Bridge.dropCheckpointBlocks(e2)
+    out
+  }
+
+  private def materialize(df: DataFrame): DataFrame =
+    df.sparkSession.conf.get("graft.spread.materialize", "localCheckpoint") match {
+      case "persist" =>
+        val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        p.count() // populate the cache so every iteration reads, not rebuilds
+        p
+      case _ => df.localCheckpoint()
+    }
+
+  /** Edge invariant with the seed term attached: (src, dst, s, y1, y0)
+    * where (y1, y0) are the SOURCE node's clamped seeds. Computed once per
+    * spread; carrying the seeds on the edges lets each iteration fold the
+    * `(1 - alpha) * Y` term into the message aggregation (y1/y0 are
+    * constant within a src group) instead of a second per-iteration join. */
+  private def seededEdges(sEdges: DataFrame, y: DataFrame, idCol: String): DataFrame =
+    sEdges.join(y, sEdges("src") === y(idCol))
+      .select(col("src"), col("dst"), col("s"), col("y1"), col("y0"))
+
+  /** One join + one aggregation per iteration:
+    * F_k(src) = alpha * sum(s * F_{k-1}(dst)) + (1 - alpha) * Y(src),
+    * with Y(src) read back via max(y1)/max(y0) over the src group (constant
+    * within the group, so max is exact). The former shape re-joined Y every
+    * iteration (`y LEFT JOIN msgs` with coalesce(m, 0)); since every id
+    * appears as a src and F covers every id, every src group exists and the
+    * coalesce was dead — same doubles, same multiply/add order, one
+    * broadcast build + one join fewer per iteration (r22 event-log audit:
+    * a warm q12 run was ~25 sequential sub-0.1 s jobs with ~40 ms driver
+    * gaps — job latency, not compute, so removing jobs is the lever). */
+  private def iterate(e2: DataFrame, y: DataFrame, idCol: String,
+                      alpha: Double, iters: Int): DataFrame = {
+    var f = y.select(col(idCol), col("y1").as("f1"), col("y0").as("f0"))
+    for (_ <- 1 to iters) {
+      f = e2.join(f, e2("dst") === f(idCol))
+        .groupBy(e2("src"))
+        .agg(
+          (lit(alpha) * sum(col("s") * col("f1")) + lit(1.0 - alpha) * max(col("y1"))).as("f1"),
+          (lit(alpha) * sum(col("s") * col("f0")) + lit(1.0 - alpha) * max(col("y0"))).as("f0"))
+        .withColumnRenamed("src", idCol)
+    }
+    f
   }
 
   /** The pure (un-materialized) plan of the iteration — spread's body
     * without persist/checkpoint. Exposed so plan audits (graft.Explain) can
-    * print the full physical plan, which spread's eager localCheckpoint
+    * print the full physical plan, which spread's eager materialization
     * otherwise hides behind a Scan ExistingRDD. */
   def spreadIterPlan(sEdges: DataFrame, y: DataFrame, idCol: String,
-                     alpha: Double, iters: Int): DataFrame = {
-    // Join strategy is deliberately left to the planner (broadcast): an r21
-    // A/B showed pre-partitioning the invariants + merge-hinting LOSES
-    // (3.97 s vs 2.78 s) — see spread()'s comment. An r22 A/B additionally
-    // tried folding the seed left-join into the message groupBy via a
-    // flagged union (one shuffle per iteration): it LOSES too (2.47 s vs
-    // 2.04 s median) — the union ships seed rows + a flag column and a
-    // 4-function conditional aggregate through the exchange, costing more
-    // than the broadcast left-join it removes at this edge count.
-    var f = y.select(col(idCol), col("y1").as("f1"), col("y0").as("f0"))
-    for (_ <- 1 to iters) {
-      val msgs = sEdges.join(f, sEdges("dst") === f(idCol))
-        .groupBy(col("src"))
-        .agg(sum(col("s") * col("f1")).as("m1"), sum(col("s") * col("f0")).as("m0"))
-      f = y.join(msgs, y(idCol) === msgs("src"), "left")
-        .select(y(idCol),
-          (lit(alpha) * coalesce(col("m1"), lit(0.0)) + lit(1.0 - alpha) * col("y1")).as("f1"),
-          (lit(alpha) * coalesce(col("m0"), lit(0.0)) + lit(1.0 - alpha) * col("y0")).as("f0"))
-    }
-    f
-  }
+                     alpha: Double, iters: Int): DataFrame =
+    iterate(seededEdges(sEdges, y, idCol), y, idCol, alpha, iters)
 
   /** Threshold the normalized posterior (labelling_pipeline.py:460-466):
     * P(1) >= thresh -> 1, P(0) >= thresh -> 0, else -1 (incl. zero-mass rows

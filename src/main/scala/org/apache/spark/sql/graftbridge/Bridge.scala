@@ -17,4 +17,16 @@ object Bridge {
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
   def typeCollection(types: AbstractDataType*): AbstractDataType = TypeCollection(types: _*)
   def asAbstract(t: DataType): AbstractDataType = t
+
+  /** Drop the storage blocks behind a `localCheckpoint()`ed DataFrame once
+    * its consumers are themselves materialized. localCheckpoint blocks are
+    * otherwise freed only when the ContextCleaner notices the RDD is
+    * unreachable (GC-driven), which in a long benchmark session lets dead
+    * MEMORY_AND_DISK blocks pile up between collections. No-op for plans
+    * that are not a checkpoint scan. */
+  def dropCheckpointBlocks(df: org.apache.spark.sql.DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 }
