@@ -98,6 +98,18 @@ object Probe {
     time("q12.full") {
       graft.queries.GraphQueries.q12(spark, sfDir, materialize = true)
     }
+    val nPlanes = sys.env.getOrElse("GRAFT_KNN_PLANES", "6").toInt
+    val nTables = sys.env.getOrElse("GRAFT_KNN_TABLES", "8").toInt
+    time("q12.knnEdgesApprox") {
+      LabelSpreading.knnEdgesApprox(e, "vec_id", "embedding", 6, nPlanes, nTables)
+    }
+    if (only.forall("q12.knn_recall".contains)) {
+      val exact = LabelSpreading.knnEdges(e, "vec_id", "embedding", 6)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val approx = LabelSpreading.knnEdgesApprox(e, "vec_id", "embedding", 6, nPlanes, nTables)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      println(f"PROBE q12.knn_recall b=$nPlanes L=$nTables  ${(exact & approx).size.toDouble / exact.size}%.4f  (exact ${exact.size}, approx ${approx.size})")
+    }
 
     // q17 phases
     val docsText = Graft.table(spark, sfDir, "documents")

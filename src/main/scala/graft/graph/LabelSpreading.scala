@@ -1,6 +1,6 @@
 package graft.graph
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.expr.GraftFunctions.dot_product
@@ -41,12 +41,12 @@ import graft.expr.GraftFunctions.dot_product
   * identical neighbor sets.
   *
   * Scale path (100 TB): the exact k-NN build is the O(N^2) correctness
-  * oracle; swap `knnEdges` for an LSH-bucketed candidate join (same output
-  * schema) to scale — the spread itself is linear in edges per iteration
-  * (one shuffle on dst, one on src). The normalized edge table is eagerly
-  * localCheckpointed so the iterated plan reuses one materialization
-  * instead of recomputing the N^2 scan per iteration, and so the logical
-  * plan the optimizer sees stays iteration-sized.
+  * oracle; `knnEdgesApprox` is the LSH-bucketed scale path (same output
+  * schema, no crossJoin / corpus broadcast) — the spread itself is linear
+  * in edges per iteration (one shuffle on dst, one on src). The seeded edge
+  * table is eagerly materialized so the iterated plan reuses one
+  * materialization instead of recomputing the N^2 scan per iteration, and
+  * so the logical plan the optimizer sees stays iteration-sized.
   */
 object LabelSpreading {
 
@@ -63,19 +63,32 @@ object LabelSpreading {
     * each pair costs d multiply-adds instead of 3d plus two sqrts. The
     * streamed side is widened (Graft.widen) so the N^2 stage parallelizes
     * even off a single-row-group scan; the build side is explicitly
-    * broadcast so the planner can never flip the sides and serialize the
-    * stage again. */
+    * broadcast (size-gated, see below) so the planner can never flip the
+    * sides and serialize the stage again. */
   def knnEdges(vectors: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
     val withN2 = vectors.select(col(idCol), col(vecCol),
       dot_product(col(vecCol), col(vecCol)).as("n2"))
     val l = graft.Graft.widen(
       withN2.select(col(idCol).as("src"), col(vecCol).as("vec_src"), col("n2").as("n2_src")))
-    val r = withN2.select(col(idCol).as("dst"), col(vecCol).as("vec_dst"), col("n2").as("n2_dst"))
+    val r0 = withN2.select(col(idCol).as("dst"), col(vecCol).as("vec_dst"), col("n2").as("n2_dst"))
+    // Broadcast the build side only while its ESTIMATED size fits the
+    // broadcast budget (graft.knn.broadcastMaxBytes, default 10 MB — the
+    // Spark autoBroadcastJoinThreshold default): the explicit hint keeps
+    // the planner from flipping the sides and serializing the widened
+    // stage, but an unconditional broadcast of the whole vector table is a
+    // guaranteed driver OOM at real N (guide §3.1/§5). Past the budget the
+    // cross join streams both sides; past ANY practical N, use
+    // knnEdgesApprox below — the O(N^2) scorer is the correctness oracle,
+    // not the scale path.
+    val bcastMax = BigInt(vectors.sparkSession.conf
+      .get("graft.knn.broadcastMaxBytes", (10L << 20).toString))
+    val r = if (r0.queryExecution.optimizedPlan.stats.sizeInBytes <= bcastMax) broadcast(r0)
+            else r0
     // Each unordered pair is scored ONCE (src < dst) and mirrored by an
     // explode — cosine is symmetric bit-for-bit (multiplication commutes
     // per index; the norm product commutes), so this halves the O(N^2)
     // kernel evaluations without changing any ranked value.
-    val half = l.crossJoin(broadcast(r))
+    val half = l.crossJoin(r)
       .filter(col("src") < col("dst"))
       .select(col("src"), col("dst"),
         round(
@@ -100,6 +113,90 @@ object LabelSpreading {
     // row_number + filter <= k: InferWindowGroupLimit inserts a partial
     // group-limit before the shuffle, so each map partition ships at most k
     // candidates per src instead of N-1.
+    val w = Window.partitionBy(col("src")).orderBy(desc("sim"), asc("dst"))
+    pairs.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("src"), col("dst"), col("sim"))
+  }
+
+  /** Approximate k-NN edge list via random-hyperplane LSH — the 100 TB
+    * scale path for the graph build (same output schema as `knnEdges`, so
+    * `normalizedEdges`/`spread` compose unchanged). `knnEdges` stays the
+    * declared q12 oracle: exact, O(N^2), and only viable while a corpus
+    * fits a broadcast; this path never broadcasts or cross-joins the corpus.
+    *
+    * Shape (guide §8: decide with small rows, move big rows once):
+    *  1. each vector is hashed into `nTables` sign-bit bucket keys (one
+    *     codegen'd projection — `nTables * nPlanes` dot products against
+    *     CONSTANT hyperplanes, no join);
+    *  2. candidate pairs are generated per (table, bucket) with the same
+    *     groupBy + sorted-id-list + two-level-explode used by q17's LSH
+    *     (the shuffle carries (table, bucket, id) — never the vectors) and
+    *     de-duplicated across tables on the id pair;
+    *  3. only candidate pairs re-attach vectors (two equi-joins on id) and
+    *     pay the cosine kernel, then the same mirror + windowed top-k as
+    *     the exact path (identical round/tie-break, so any true neighbor
+    *     that survives bucketing ranks exactly as in `knnEdges`).
+    *
+    * Cost: O(N * nTables) hashing + O(sum of bucket^2) scoring instead of
+    * O(N^2); recall is tunable with nPlanes (bucket granularity) and
+    * nTables (number of independent chances to collide). Hyperplanes are
+    * seeded and deterministic: same inputs, same edges, every run.
+    */
+  def knnEdgesApprox(vectors: DataFrame, idCol: String, vecCol: String, k: Int,
+                     nPlanes: Int = 6, nTables: Int = 8, seed: Long = 42L): DataFrame = {
+    val spark = vectors.sparkSession
+    val dim = vectors.select(size(col(vecCol)).as("d")).first().getInt(0)
+    val rnd = new java.util.Random(seed)
+    // float hyperplanes: the embedding columns are array<float>, and
+    // dot_product requires matching element types — bucketing only needs
+    // the SIGN of the projection, so float precision is irrelevant here.
+    val planes: IndexedSeq[IndexedSeq[Array[Float]]] =
+      (0 until nTables).map(_ => (0 until nPlanes).map(_ =>
+        Array.fill(dim)(rnd.nextGaussian().toFloat)))
+    def bucketKey(t: Int): Column =
+      (0 until nPlanes).map { p =>
+        when(dot_product(col(vecCol), typedLit(planes(t)(p))) >= 0, lit(1 << p)).otherwise(lit(0))
+      }.reduce(_ + _)
+    // 1. hash: one row per (table, bucket, id) — 3 narrow columns into the
+    // bucket shuffle, never the vector payload (guide §2.3).
+    val keyed = graft.Graft.widen(vectors.select(col(idCol), col(vecCol)))
+      .select(col(idCol).as("kid"),
+        explode(array((0 until nTables).map(t =>
+          struct(lit(t).as("t"), bucketKey(t).as("bkt"))): _*)).as("tb"))
+      .select(col("kid"), col("tb.t").as("t"), col("tb.bkt").as("bkt"))
+    // 2. in-bucket pairs, two-level explode (no O(bucket^2) row ever
+    // materializes — see DedupQueries candidate generation), deduped
+    // across tables.
+    val candPairs = keyed
+      .groupBy(col("t"), col("bkt"))
+      .agg(sort_array(collect_list(col("kid"))).as("ids"))
+      .where(size(col("ids")) > 1)
+      .select(col("ids"), posexplode(col("ids")))
+      .select(col("col").as("a"),
+        explode(slice(col("ids"), col("pos") + lit(2), size(col("ids")))).as("b"))
+      .distinct()
+    // 3. re-attach vectors to candidates only; score once per unordered
+    // pair with the exact path's kernel (hoisted norms, same round/guards).
+    val withN2 = vectors.select(col(idCol), col(vecCol),
+      dot_product(col(vecCol), col(vecCol)).as("n2"))
+    val half = candPairs
+      .join(withN2.select(col(idCol).as("a"), col(vecCol).as("vec_a"), col("n2").as("n2_a")), "a")
+      .join(withN2.select(col(idCol).as("b"), col(vecCol).as("vec_b"), col("n2").as("n2_b")), "b")
+      .select(col("a").as("src"), col("b").as("dst"),
+        round(
+          when(size(col("vec_a")) =!= size(col("vec_b")), lit(null).cast("double"))
+            .when(col("n2_a") === 0.0 || col("n2_b") === 0.0, 0.0)
+            .otherwise(
+              dot_product(col("vec_a"), col("vec_b")) /
+                (sqrt(col("n2_a")) * sqrt(col("n2_b")))), 6).as("sim"))
+    val pairs = half
+      .select(col("src"), col("dst"), col("sim"),
+        explode(array(lit(0), lit(1))).as("m"))
+      .select(
+        when(col("m") === 0, col("src")).otherwise(col("dst")).as("src"),
+        when(col("m") === 0, col("dst")).otherwise(col("src")).as("dst"),
+        col("sim"))
     val w = Window.partitionBy(col("src")).orderBy(desc("sim"), asc("dst"))
     pairs.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)

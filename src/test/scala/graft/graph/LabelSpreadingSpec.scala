@@ -43,6 +43,46 @@ class LabelSpreadingSpec extends AnyFunSuite {
     assert(got.size == 36)
   }
 
+  test("knnEdgesApprox matches exact edges on the cluster fixture") {
+    val exact = LabelSpreading.knnEdges(vectors, "vec_id", "embedding", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val approx = LabelSpreading.knnEdgesApprox(vectors, "vec_id", "embedding", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // near-identical within-cluster vectors share every LSH bucket, so the
+    // candidate set contains all true neighbors and the identical
+    // round/tie-break ranking reproduces the exact edge set bit-for-bit
+    assert(approx == exact)
+  }
+
+  test("knnEdgesApprox: high recall on a random corpus, no cartesian plan") {
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 200).map { id =>
+      // 8 loose directional clusters + noise: a realistic ANN workload
+      val base = Array.fill(16)(0f)
+      base(id % 8) = 1f
+      Row(id.toLong, base.map(_ + rnd.nextGaussian().toFloat * 0.2f).toSeq)
+    }
+    val vecs = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows),
+      StructType(Seq(
+        StructField("vec_id", LongType, nullable = false),
+        StructField("embedding", ArrayType(FloatType, containsNull = false)))))
+    val k = 5
+    val exact = LabelSpreading.knnEdges(vecs, "vec_id", "embedding", k)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approxDf = LabelSpreading.knnEdgesApprox(vecs, "vec_id", "embedding", k)
+    val approx = approxDf.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.8, s"recall $recall below 0.8 (got ${approx.size} edges)")
+    // schema parity with the exact path
+    assert(approxDf.schema.fieldNames.toSeq == Seq("src", "dst", "sim"))
+    // the scale property: candidate generation never cross-joins or
+    // broadcast-nested-loops the corpus
+    val plan = approxDf.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), "approx path must not cartesian-join")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "approx path must not BNLJ the corpus")
+  }
+
   test("spread labels seeded clusters, leaves unseeded cluster at -1") {
     val e = vectors
     val edges = LabelSpreading.normalizedEdges(
