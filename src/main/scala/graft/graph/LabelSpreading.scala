@@ -301,10 +301,13 @@ object LabelSpreading {
     * within the group, so max is exact). The former shape re-joined Y every
     * iteration (`y LEFT JOIN msgs` with coalesce(m, 0)); since every id
     * appears as a src and F covers every id, every src group exists and the
-    * coalesce was dead — same doubles, same multiply/add order, one
-    * broadcast build + one join fewer per iteration (r22 event-log audit:
-    * a warm q12 run was ~25 sequential sub-0.1 s jobs with ~40 ms driver
-    * gaps — job latency, not compute, so removing jobs is the lever). */
+    * coalesce was dead — same formula, one broadcast build + one join fewer
+    * per iteration (r22 event-log audit: a warm q12 run was ~25 sequential
+    * sub-0.1 s jobs with ~40 ms driver gaps — job latency, not compute, so
+    * removing jobs is the lever). Per-group sum order still depends on
+    * partitioning (it always did, under AQE), so agreement with the old
+    * shape is to ~1 ulp, which the 6 dp output rounding absorbs — see
+    * LabelSpreadingSpec's parity test and the oracle hash. */
   private def iterate(e2: DataFrame, y: DataFrame, idCol: String,
                       alpha: Double, iters: Int): DataFrame = {
     var f = y.select(col(idCol), col("y1").as("f1"), col("y0").as("f0"))

@@ -99,6 +99,53 @@ class LabelSpreadingSpec extends AnyFunSuite {
     for (id <- 8L to 11L) assert(out(id) == -1, s"node $id should stay unlabelled")
   }
 
+  test("seed-folded iteration matches the re-join formulation to ulp level") {
+    // r22 rewrote spread's loop body: the per-iteration `y LEFT JOIN msgs`
+    // with coalesce(m, 0) became a seed term folded into the message
+    // aggregate (max over the constant-within-group y columns). Replay the
+    // OLD shape here and require agreement to ~1 ulp per node (the
+    // per-group sum order depends on partitioning — under AQE it varies
+    // between ANY two plans, old-vs-old included — so exact bit equality
+    // is not a property either shape ever had; what the oracle relies on
+    // is that ulp-level error vanishes under the 6 dp output rounding).
+    val e = vectors
+    val edges = LabelSpreading.normalizedEdges(
+      LabelSpreading.knnEdges(e, "vec_id", "embedding", 3))
+    val y = e.select(col("vec_id"),
+      when(col("vec_id") === 0, 1.0).otherwise(0.0).as("y1"),
+      when(col("vec_id") === 4, 1.0).otherwise(0.0).as("y0"))
+    val alpha = 0.01
+    val iters = 5
+
+    def oldShape(sEdges: org.apache.spark.sql.DataFrame): Map[Long, (Double, Double)] = {
+      var f = y.select(col("vec_id"), col("y1").as("f1"), col("y0").as("f0"))
+      for (_ <- 1 to iters) {
+        val msgs = sEdges.join(f, sEdges("dst") === f("vec_id"))
+          .groupBy(col("src"))
+          .agg(sum(col("s") * col("f1")).as("m1"), sum(col("s") * col("f0")).as("m0"))
+        f = y.join(msgs, y("vec_id") === msgs("src"), "left")
+          .select(y("vec_id"),
+            (lit(alpha) * coalesce(col("m1"), lit(0.0)) + lit(1.0 - alpha) * col("y1")).as("f1"),
+            (lit(alpha) * coalesce(col("m0"), lit(0.0)) + lit(1.0 - alpha) * col("y0")).as("f0"))
+      }
+      f.collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    }
+
+    val want = oldShape(edges)
+    val got = LabelSpreading.spread(edges, y, "vec_id", alpha, iters)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(got.keySet == want.keySet)
+    def close(a: Double, b: Double): Boolean =
+      a == b || math.abs(a - b) <= 1e-12 * math.max(math.abs(a), math.abs(b))
+    for ((id, (f1, f0)) <- want) {
+      assert(close(got(id)._1, f1), s"f1 mismatch at $id: ${got(id)._1} != $f1")
+      assert(close(got(id)._2, f0), s"f0 mismatch at $id: ${got(id)._2} != $f0")
+      // and the property the oracle hash actually depends on:
+      assert(math.round(got(id)._1 * 1e6) == math.round(f1 * 1e6))
+      assert(math.round(got(id)._2 * 1e6) == math.round(f0 * 1e6))
+    }
+  }
+
   test("thresholdLabels demotes mixed posteriors to -1") {
     import spark.implicits._
     val f = Seq((1L, 0.6, 0.4), (2L, 0.4, 0.6), (3L, 0.0, 0.0), (4L, 0.71, 0.29))
