@@ -15,7 +15,8 @@ object GraftFunctions {
     "modal_label" -> (es => ModalLabel(es.head)),
     "cosine_sim" -> (es => CosineSimilarity(es(0), es(1))),
     "dot_product" -> (es => DotProduct(es(0), es(1))),
-    "minhash_sigs" -> (es => MinHashSignatures(es.head))
+    "minhash_sigs" -> (es => MinHashSignatures(es.head)),
+    "minhash_text" -> (es => MinHashFromText(es.head))
   )
 
   def registerAll(spark: SparkSession): Unit = builders.foreach { case (name, b) =>
@@ -33,4 +34,5 @@ object GraftFunctions {
   def cosine_sim(a: Column, b: Column): Column = col(CosineSimilarity(ex(a), ex(b)))
   def dot_product(a: Column, b: Column): Column = col(DotProduct(ex(a), ex(b)))
   def minhash_sigs(arr: Column): Column = col(MinHashSignatures(ex(arr)))
+  def minhash_text(text: Column): Column = col(MinHashFromText(ex(text)))
 }

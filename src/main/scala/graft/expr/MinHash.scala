@@ -69,6 +69,89 @@ object MinHash {
     (v >>> 4) % P
   }
 
+  // Token-start offsets for signaturesFromText (grown geometrically,
+  // sticks at the high-water mark like inBuf).
+  private val tokBuf = new ThreadLocal[Array[Int]] {
+    override def initialValue(): Array[Int] = new Array[Int](64)
+  }
+
+  /** K minhash slots computed straight from the raw text, equal slot-for-slot
+    * to `signatures(shingles(text))` (DedupQueriesSpec pins the parity):
+    *
+    *  - `split(text, " ")` (limit -1) tokenizes on single 0x20 bytes and
+    *    KEEPS empty tokens, and `concat_ws(" ", slice(toks, i, 3))` re-joins
+    *    3 consecutive tokens with single spaces — which reproduces the
+    *    original byte span exactly (the only bytes between consecutive
+    *    tokens are the single 0x20s that split consumed). So each word
+    *    3-shingle IS the byte range [start(tok_i), end(tok_{i+2})) of the
+    *    input, and its md5 can be taken over that range with ZERO
+    *    per-shingle string allocation. 0x20 never occurs inside a UTF-8
+    *    multi-byte sequence, so byte-level splitting equals char-level.
+    *  - the `array_distinct` in the column formulation is irrelevant to a
+    *    min (min over a multiset == min over its set).
+    *  - fewer than 3 tokens hashes the whole text once, matching
+    *    `otherwise(array(text))`.
+    *
+    * Replaces, per row: a regex split (token array), sequence+transform
+    * (shingle array), one string allocation per shingle, and a distinct
+    * hash set — with one byte copy of the text and an int array of token
+    * starts. Never null for non-null input (there is always >= 1 shingle).
+    */
+  def signaturesFromText(s: UTF8String): ArrayData = {
+    val n = s.numBytes()
+    var in = inBuf.get()
+    if (in.length < n) {
+      in = new Array[Byte](java.lang.Math.max(n, in.length * 2))
+      inBuf.set(in)
+    }
+    s.writeToMemory(in, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET)
+    val d = md5.get()
+    val digest = outBuf.get()
+    val sigs = Array.fill(K)(Long.MaxValue)
+    @inline def hashRange(off: Int, len: Int): Unit = {
+      d.reset()
+      d.update(in, off, len)
+      d.digest(digest, 0, 16)
+      var v = 0L
+      var i = 0
+      while (i < 8) { v = (v << 8) | (digest(i) & 0xffL); i += 1 }
+      val h = (v >>> 4) % P
+      var k = 0
+      while (k < K) {
+        val x = (A(k) * h + B(k)) % P
+        if (x < sigs(k)) sigs(k) = x
+        k += 1
+      }
+    }
+    // token j spans [starts(j), starts(j+1) - 1) for j < m-1, else [starts(j), n)
+    var starts = tokBuf.get()
+    var m = 0
+    @inline def push(p: Int): Unit = {
+      if (m == starts.length) {
+        starts = java.util.Arrays.copyOf(starts, starts.length * 2)
+        tokBuf.set(starts)
+      }
+      starts(m) = p
+      m += 1
+    }
+    push(0)
+    var i = 0
+    while (i < n) {
+      if (in(i) == 0x20) push(i + 1)
+      i += 1
+    }
+    if (m >= 3) {
+      var w = 0
+      while (w + 2 < m) {
+        val off = starts(w)
+        val end = if (w + 3 < m) starts(w + 3) - 1 else n
+        hashRange(off, end - off)
+        w += 1
+      }
+    } else hashRange(0, n)
+    new GenericArrayData(sigs)
+  }
+
   /** K minhash signature slots over a shingle array; null when the array is
     * empty (array_min-of-empty semantics per slot). */
   def signatures(arr: ArrayData): ArrayData = {

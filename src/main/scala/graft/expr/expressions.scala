@@ -89,6 +89,25 @@ case class MinHashSignatures(child: Expression)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** MinHash signature vector straight from a raw text: fuses tokenization,
+  * word-3-shingling and the K affine minima into one zero-allocation pass
+  * over the string's bytes (see MinHash.signaturesFromText for the parity
+  * argument vs minhash_sigs(shingles(text)), which DedupQueriesSpec pins).
+  * Never null for a non-null input — there is always at least one shingle
+  * (the whole text when shorter than 3 tokens). */
+case class MinHashFromText(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractType] = Seq(Bridge.asAbstract(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "minhash_text"
+  override protected def nullSafeEval(s: Any): Any =
+    MinHash.signaturesFromText(s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.expr.MinHash.signaturesFromText($a)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Cosine similarity between two dense vectors (array<float> or
   * array<double>): the kernel for similarity search / embedding dedup /
   * k-NN graph build (SURVEY §7 scale ops; E7 `print_sim` generalized). */

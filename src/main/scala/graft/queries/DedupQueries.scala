@@ -92,14 +92,17 @@ object DedupQueries {
       // scanned exactly twice per invocation: once by the signature pipeline
       // and once by the candidate semi-join below (was three passes in r21).
       val docsWide = graft.Graft.widen(docsText)
-      val docs = docsWide.select(col("doc_id"), shingles(col("text")).as("sh"))
-      // One codegen'd pass computes all K signature slots (MinHashSignatures
-      // kernel). The previous formulation was 13 interpreted HOFs per row —
-      // transform(md5/conv) + 12x array_min(transform(affine)) — each
-      // allocating an intermediate array; identical arithmetic, so the
-      // DuckDB oracle (hex/conv CTEs) still matches bit-for-bit.
-      val sig = docs.select(col("doc_id"),
-        graft.expr.GraftFunctions.minhash_sigs(col("sh")).as("sig"))
+      // One codegen'd pass fuses tokenization, word-3-shingling and all K
+      // signature slots (MinHashFromText kernel): each shingle is a byte
+      // range of the raw text, so the pass allocates nothing per shingle.
+      // r21 had replaced 13 interpreted HOFs per row with a kernel over the
+      // shingle ARRAY; this removes the interpreted shingle construction
+      // (regex split + sequence/transform + per-shingle concat_ws +
+      // array_distinct) too. Identical arithmetic slot-for-slot (unit
+      // parity test), so the DuckDB oracle (hex/conv CTEs over the shingle
+      // formulation) still matches bit-for-bit.
+      val sig = docsWide.select(col("doc_id"),
+        graft.expr.GraftFunctions.minhash_text(col("text")).as("sig"))
       // band keys: r consecutive signature slots joined into one string key
       val bandStructs = (0 until bands).map { j =>
         val key = concat_ws("_",

@@ -100,6 +100,42 @@ class DedupQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("minhash_text kernel equals minhash_sigs(shingles(text)) slot-for-slot") {
+    import org.apache.spark.sql.functions._
+    // adversarial tokenization cases: consecutive/leading/trailing spaces
+    // (split keeps empty tokens at limit -1), exactly 2 and 3 tokens, empty
+    // string, single char, multi-byte UTF-8 (byte-level 0x20 splitting must
+    // equal char-level), repeated shingles (array_distinct vs multiset min),
+    // and a long realistic sentence.
+    val texts = Seq(
+      "alpha bravo charlie delta echo",
+      "a  b c",            // double space -> empty token inside
+      " lead space",       // leading space -> empty first token
+      "trail space ",      // trailing space -> empty last token kept
+      "  ",                // only spaces -> 3 empty tokens
+      "two tokens",
+      "exactly three tokens",
+      "",
+      "x",
+      "héllo wörld ünïcode ça va bien",  // multi-byte UTF-8
+      "dup dup dup dup dup",             // identical shingles repeated
+      "the quick brown fox jumps over the lazy dog again and again")
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(texts.zipWithIndex.map { case (t, i) => Row(i.toLong, t) }),
+      StructType(Seq(
+        StructField("id", LongType, nullable = false),
+        StructField("t", StringType, nullable = false))))
+    val viaArray = df.select(col("id"),
+      graft.expr.GraftFunctions.minhash_sigs(DedupQueries.shingles(col("t"))).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val viaText = df.select(col("id"),
+      graft.expr.GraftFunctions.minhash_text(col("t")).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(viaText.keySet == viaArray.keySet)
+    for ((id, sigs) <- viaArray)
+      assert(viaText(id) == sigs, s"text '${texts(id.toInt)}' signature mismatch")
+  }
+
   test("shingles: degenerate branches — short, empty") {
     import org.apache.spark.sql.functions.col
     val df = spark.createDataFrame(
