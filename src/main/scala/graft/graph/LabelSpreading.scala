@@ -84,32 +84,35 @@ object LabelSpreading {
       .get("graft.knn.broadcastMaxBytes", (10L << 20).toString))
     val r = if (r0.queryExecution.optimizedPlan.stats.sizeInBytes <= bcastMax) broadcast(r0)
             else r0
+    def score(df: DataFrame): DataFrame = df.select(col("src"), col("dst"),
+      round(
+        when(size(col("vec_src")) =!= size(col("vec_dst")), lit(null).cast("double"))
+          .when(col("n2_src") === 0.0 || col("n2_dst") === 0.0, 0.0)
+          .otherwise(
+            dot_product(col("vec_src"), col("vec_dst")) /
+              (sqrt(col("n2_src")) * sqrt(col("n2_dst")))), 6).as("sim"))
     // Each unordered pair is scored ONCE (src < dst) and mirrored by an
     // explode — cosine is symmetric bit-for-bit (multiplication commutes
     // per index; the norm product commutes), so this halves the O(N^2)
-    // kernel evaluations without changing any ranked value.
-    val half = l.crossJoin(r)
-      .filter(col("src") < col("dst"))
-      .select(col("src"), col("dst"),
-        round(
-          when(size(col("vec_src")) =!= size(col("vec_dst")), lit(null).cast("double"))
-            .when(col("n2_src") === 0.0 || col("n2_dst") === 0.0, 0.0)
-            .otherwise(
-              dot_product(col("vec_src"), col("vec_dst")) /
-                (sqrt(col("n2_src")) * sqrt(col("n2_dst")))), 6).as("sim"))
-    // Mirror each scored half-pair into both directions by exploding a
-    // constant 2-element array and swapping via conditional projection.
-    // The r21 mirror exploded array(struct, struct), which materialized two
-    // fresh structs per pair inside the generator — an r22 probe measured
-    // that allocation at ~0.5 s of the 0.98 s knnEdges stage; the constant
-    // array is folded once and the swap is two codegen'd conditionals.
-    val pairs = half
-      .select(col("src"), col("dst"), col("sim"),
-        explode(array(lit(0), lit(1))).as("m"))
-      .select(
-        when(col("m") === 0, col("src")).otherwise(col("dst")).as("src"),
-        when(col("m") === 0, col("dst")).otherwise(col("src")).as("dst"),
-        col("sim"))
+    // kernel evaluations without changing any ranked value. At the
+    // fixture's 64 dims the halving is a measured WASH against scoring all
+    // N^2 directed pairs directly (r22 alternating A/B on the full query:
+    // 1.463 s vs 1.448 s @32c — the mirror's Generate+swap costs what the
+    // halved kernel saves); it is kept as the default because the kernel
+    // cost grows linearly with dimension while the mirror overhead does
+    // not. graft.knn.mirror=false selects the direct form.
+    val pairs =
+      if (vectors.sparkSession.conf.get("graft.knn.mirror", "true") == "true") {
+        val half = score(l.crossJoin(r).filter(col("src") < col("dst")))
+        half
+          .select(col("src"), col("dst"), col("sim"),
+            explode(array(lit(0), lit(1))).as("m"))
+          .select(
+            when(col("m") === 0, col("src")).otherwise(col("dst")).as("src"),
+            when(col("m") === 0, col("dst")).otherwise(col("src")).as("dst"),
+            col("sim"))
+      } else
+        score(l.crossJoin(r).filter(col("src") =!= col("dst")))
     // row_number + filter <= k: InferWindowGroupLimit inserts a partial
     // group-limit before the shuffle, so each map partition ships at most k
     // candidates per src instead of N-1.
