@@ -51,6 +51,12 @@ object RelationalQueries {
     // one genuinely growing dim — left as a shuffle join under AQE, which
     // picks broadcast when it fits).
     "q03_star_join_revenue" -> ((s, dir) => {
+      // NO widen here: the single-row-group fixture does serialize
+      // scan+joins+agg into one task, but an r22 alternating A/B measured
+      // the round-robin exchange of the 600k projected rows at a LOSS
+      // (0.77 s -> 1.16 s @32c) — decode dominates the stage and widen
+      // cannot parallelize the scan itself, only the cheap join/agg tail
+      // (same lesson as q05's r21 widen regression).
       val li = table(s, dir, "lineitem")
       val o = table(s, dir, "orders")
       val c = table(s, dir, "customer")
